@@ -1,0 +1,85 @@
+"""Stochastic regularisation ops as pure functions of (key, array).
+
+The reference has four distinct stochastic mechanisms (see SURVEY.md §7):
+
+* AWD-LSTM *embedding dropout* — Bernoulli mask over whole vocabulary rows
+  (`intrepppid/utils/embedding_do.py:20-44`).
+* *DropConnect* weight dropout — per-element mask over a weight matrix
+  (`intrepppid/utils/weightdrop.py:100-102`).
+* *Variational* weight dropout — per-row mask expanded across columns
+  (`intrepppid/utils/weightdrop.py:88-95`). NOTE the reference hardcodes
+  ``training=True`` for the variational path so it is active even in eval;
+  we replicate that quirk (SURVEY.md Appendix A #4) — callers do not gate
+  the variational mask on ``train``.
+* Plain activation dropout (``nn.Dropout`` in the MLP head,
+  `intrepppid/classifier/head/mlp.py:49-51`).
+
+All masks use inverted-dropout scaling ``1/(1-p)`` like
+``torch.nn.functional.dropout``.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def dropout(key: jax.Array, x: jnp.ndarray, p: float, train: bool) -> jnp.ndarray:
+    """Standard inverted dropout, identity when ``not train`` or ``p == 0``."""
+    if not train or p == 0.0:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - p, x.shape)
+    return jnp.where(keep, x / (1.0 - p), 0.0).astype(x.dtype)
+
+
+def dropconnect_weight(key: jax.Array, w: jnp.ndarray, p: float, train: bool) -> jnp.ndarray:
+    """Per-element weight dropout (DropConnect, the AWD-LSTM paper's scheme).
+
+    Equivalent to ``F.dropout(raw_w, p, training=train)`` in the reference
+    (`intrepppid/utils/weightdrop.py:100-102`): identity in eval.
+    """
+    if not train or p == 0.0:
+        return w
+    keep = jax.random.bernoulli(key, 1.0 - p, w.shape)
+    return jnp.where(keep, w / (1.0 - p), 0.0).astype(w.dtype)
+
+
+def variational_weight(key: jax.Array, w: jnp.ndarray, p: float) -> jnp.ndarray:
+    """Per-row weight dropout (Gal & Ghahramani variational dropout).
+
+    Mask shape ``(rows, 1)`` expanded across columns, scaled ``1/(1-p)``.
+    Deliberately NOT gated on ``train``: the reference applies it with
+    ``training=True`` unconditionally (`intrepppid/utils/weightdrop.py:94`),
+    so the variational path is active at eval time too. We keep that
+    behaviour for parity (manuscript runs use ``variational_dropout=false``).
+    """
+    if p == 0.0:
+        return w
+    keep = jax.random.bernoulli(key, 1.0 - p, (w.shape[0], 1))
+    return jnp.where(keep, w / (1.0 - p), 0.0).astype(w.dtype)
+
+
+def embedding_dropout(
+    key: jax.Array,
+    embedding: jnp.ndarray,
+    ids: jnp.ndarray,
+    p: float,
+    train: bool,
+    padding_idx: int = 0,
+) -> jnp.ndarray:
+    """AWD-LSTM embedding dropout: drop whole token *types* per batch.
+
+    Bernoulli keep-mask of shape ``(vocab, 1)`` over the embedding table,
+    scaled by ``1/(1-p)``, then a plain gather — mirrors
+    `intrepppid/utils/embedding_do.py:20-44`. The ``padding_idx`` row of a
+    torch ``nn.Embedding`` is zero-initialised with masked grads, so we
+    force that row to zero in the lookup result for exact equivalence.
+    """
+    if train and p > 0.0:
+        keep = jax.random.bernoulli(key, 1.0 - p, (embedding.shape[0], 1))
+        table = jnp.where(keep, embedding / (1.0 - p), 0.0).astype(embedding.dtype)
+    else:
+        table = embedding
+    out = jnp.take(table, ids, axis=0)
+    if padding_idx is not None:
+        out = jnp.where((ids == padding_idx)[..., None], 0.0, out)
+    return out

@@ -1,0 +1,186 @@
+"""Bidirectional multi-layer LSTM as a TPU-friendly `lax.scan`.
+
+Replaces the reference's ``torch.nn.LSTM(bidirectional=True, batch_first=True)``
+(`intrepppid/encoders/awd_lstm.py:35-41`). The reference feeds *padded*
+batches straight into the LSTM (no packing) after truncating the batch to
+the longest non-pad length (`awd_lstm.py:53-54,149-150`). XLA requires
+static shapes, so instead of physically truncating we keep the padded
+``(B, T)`` block and pass the batch's true max length as a dynamic scalar:
+state updates are frozen for steps ``t >= max_len``. This reproduces the
+reference's semantics bit-for-bit (shorter sequences inside the window
+still run over their pads, exactly like torch without packing) while
+remaining a single compiled program for every batch.
+
+TPU mapping:
+
+* The input projection ``x @ W_ih^T`` for all timesteps and both directions
+  is hoisted out of the recurrence into one large GEMM — this is where the
+  FLOPs are and it tiles onto the MXU.
+* The recurrence scans time-major with both directions stacked on a leading
+  axis, so each step is one batched ``(2,B,H) x (2,H,4H)`` matmul.
+* Cell/hidden state is kept in float32 regardless of the compute dtype;
+  matmuls accumulate in float32 (``preferred_element_type``).
+
+Weight layout matches torch for checkpoint conversion: ``w_ih (4H, in)``,
+``w_hh (4H, H)``, ``b_ih (4H,)``, ``b_hh (4H,)``; gate order ``i, f, g, o``.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+def init_lstm_params(
+    key: jax.Array,
+    input_size: int,
+    hidden_size: int,
+    num_layers: int,
+    dtype=jnp.float32,
+) -> List[Params]:
+    """torch ``nn.LSTM`` init: every tensor ~ U(-k, k), k = 1/sqrt(hidden)."""
+    k = 1.0 / jnp.sqrt(hidden_size)
+    layers = []
+    for layer in range(num_layers):
+        in_size = input_size if layer == 0 else 2 * hidden_size
+        layer_params = {}
+        for direction in ("fwd", "bwd"):
+            key, k1, k2, k3, k4 = jax.random.split(key, 5)
+            layer_params[direction] = {
+                "w_ih": jax.random.uniform(k1, (4 * hidden_size, in_size), dtype, -k, k),
+                "w_hh": jax.random.uniform(k2, (4 * hidden_size, hidden_size), dtype, -k, k),
+                "b_ih": jax.random.uniform(k3, (4 * hidden_size,), dtype, -k, k),
+                "b_hh": jax.random.uniform(k4, (4 * hidden_size,), dtype, -k, k),
+            }
+        layers.append(layer_params)
+    return layers
+
+
+def _bidir_layer(
+    layer_params: Params,
+    x: jnp.ndarray,
+    max_len: jnp.ndarray,
+    compute_dtype,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One bidirectional layer. Returns (y (B,T,2H), hn (2,B,H), cn (2,B,H)).
+
+    ``max_len`` may be a scalar or a per-row ``(B,)`` vector (used to
+    reproduce the reference's *per-encoder-call* truncation when several
+    logical encoder calls are batched into one physical scan).
+
+    ``w_hh`` may be ``(4H, H)`` (shared) or ``(G, 4H, H)`` (per-group
+    weight-dropped recurrent weights; the batch must then be group-major
+    with ``B % G == 0``).
+    """
+    B, T, _ = x.shape
+    H = layer_params["fwd"]["w_hh"].shape[-1]
+    grouped = layer_params["fwd"]["w_hh"].ndim == 3
+
+    w_ih = jnp.stack(
+        [layer_params["fwd"]["w_ih"], layer_params["bwd"]["w_ih"]]
+    ).astype(compute_dtype)
+    w_hh = jnp.stack(
+        [layer_params["fwd"]["w_hh"], layer_params["bwd"]["w_hh"]]
+    ).astype(compute_dtype)  # (2, 4H, H) or (2, G, 4H, H)
+    bias = jnp.stack(
+        [
+            layer_params["fwd"]["b_ih"] + layer_params["fwd"]["b_hh"],
+            layer_params["bwd"]["b_ih"] + layer_params["bwd"]["b_hh"],
+        ]
+    ).astype(jnp.float32)
+
+    xc = x.astype(compute_dtype)
+    # Hoisted input projection: (2, B, T, 4H) in one MXU-friendly GEMM.
+    x_gates = jnp.einsum(
+        "bte,dge->dbtg", xc, w_ih, preferred_element_type=jnp.float32
+    ) + bias[:, None, None, :]
+    # Direction 1 consumes time reversed.
+    x_gates = jnp.stack([x_gates[0], x_gates[1, :, ::-1, :]], axis=0)
+    # Time-major for the scan: (T, 2, B, 4H)
+    x_gates = jnp.transpose(x_gates, (2, 0, 1, 3))
+
+    steps = jnp.arange(T)
+    max_len = jnp.broadcast_to(jnp.asarray(max_len, jnp.int32), (B,))
+    # fwd processes position s at step s; bwd processes position T-1-s.
+    valid = jnp.stack(
+        [steps[:, None] < max_len[None, :], (T - 1 - steps)[:, None] < max_len[None, :]],
+        axis=1,
+    )  # (T, 2, B)
+
+    if grouped:
+        G = w_hh.shape[1]
+        Bg = B // G
+
+        def recur(h):
+            hg = h.astype(compute_dtype).reshape(2, G, Bg, H)
+            out = jnp.einsum(
+                "dgbh,dgkh->dgbk", hg, w_hh, preferred_element_type=jnp.float32
+            )
+            return out.reshape(2, B, 4 * H)
+    else:
+
+        def recur(h):
+            return jnp.einsum(
+                "dbh,dgh->dbg", h.astype(compute_dtype), w_hh,
+                preferred_element_type=jnp.float32,
+            )
+
+    def step(carry, inp):
+        h, c = carry  # (2, B, H) float32
+        xg_t, valid_t = inp
+        gates = xg_t + recur(h)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        m = valid_t[:, :, None]
+        h = jnp.where(m, h_new, h)
+        c = jnp.where(m, c_new, c)
+        return (h, c), h
+
+    h0 = jnp.zeros((2, B, H), jnp.float32)
+    c0 = jnp.zeros((2, B, H), jnp.float32)
+    (hn, cn), hs = jax.lax.scan(step, (h0, c0), (x_gates, valid))
+    # hs: (T, 2, B, H). Undo the time reversal of the bwd direction.
+    y_fwd = jnp.transpose(hs[:, 0], (1, 0, 2))
+    y_bwd = jnp.transpose(hs[:, 1], (1, 0, 2))[:, ::-1, :]
+    y = jnp.concatenate([y_fwd, y_bwd], axis=-1)
+    return y, hn, cn
+
+
+def bilstm(
+    layers: List[Params],
+    x: jnp.ndarray,
+    max_len: jnp.ndarray | int | None = None,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run the full stacked bidirectional LSTM.
+
+    :param layers: params from :func:`init_lstm_params` (weight-drop masks,
+        if any, must already be applied by the caller — the reference
+        re-materialises the dropped ``weight_hh_l0`` once per forward,
+        `intrepppid/utils/weightdrop.py:65-111`).
+    :param x: embedded input ``(B, T, E)``.
+    :param max_len: dynamic scalar — the batch's longest non-pad length —
+        or a per-row ``(B,)`` vector of lengths. ``None`` runs the full window.
+    :returns: ``(y (B,T,2H), hn (2*num_layers, B, H), cn (2*num_layers, B, H))``
+        with ``hn`` in torch order ``[l0_fwd, l0_bwd, l1_fwd, l1_bwd, ...]``.
+    """
+    if max_len is None:
+        max_len = x.shape[1]
+    max_len = jnp.asarray(max_len, jnp.int32)
+    hns, cns = [], []
+    y = x
+    for layer_params in layers:
+        y, hn, cn = _bidir_layer(layer_params, y, max_len, compute_dtype)
+        hns.append(hn)
+        cns.append(cn)
+    hn_all = jnp.concatenate(hns, axis=0)
+    cn_all = jnp.concatenate(cns, axis=0)
+    return y, hn_all, cn_all

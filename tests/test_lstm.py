@@ -1,0 +1,133 @@
+"""Golden parity: our lax.scan bidirectional LSTM vs torch.nn.LSTM (CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from intrepppid_tpu.ops.lstm import bilstm, init_lstm_params
+
+
+def make_torch_lstm(input_size, hidden, num_layers, seed=0):
+    torch.manual_seed(seed)
+    return torch.nn.LSTM(
+        input_size, hidden, num_layers, bidirectional=True, batch_first=True
+    )
+
+
+def torch_params_to_jax(lstm, num_layers):
+    layers = []
+    for layer in range(num_layers):
+        lp = {}
+        for direction, suffix in (("fwd", ""), ("bwd", "_reverse")):
+            lp[direction] = {
+                "w_ih": jnp.asarray(
+                    getattr(lstm, f"weight_ih_l{layer}{suffix}").detach().numpy()
+                ),
+                "w_hh": jnp.asarray(
+                    getattr(lstm, f"weight_hh_l{layer}{suffix}").detach().numpy()
+                ),
+                "b_ih": jnp.asarray(
+                    getattr(lstm, f"bias_ih_l{layer}{suffix}").detach().numpy()
+                ),
+                "b_hh": jnp.asarray(
+                    getattr(lstm, f"bias_hh_l{layer}{suffix}").detach().numpy()
+                ),
+            }
+        layers.append(lp)
+    return layers
+
+
+@pytest.mark.parametrize("num_layers", [1, 2])
+def test_bilstm_matches_torch(rng, num_layers):
+    B, T, E = 4, 17, 8
+    x = rng.normal(size=(B, T, E)).astype(np.float32)
+    lstm = make_torch_lstm(E, E, num_layers)
+    with torch.no_grad():
+        y_t, (hn_t, cn_t) = lstm(torch.tensor(x))
+    layers = torch_params_to_jax(lstm, num_layers)
+    y_j, hn_j, cn_j = bilstm(layers, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y_j), y_t.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(hn_j), hn_t.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cn_j), cn_t.numpy(), atol=2e-5)
+
+
+def test_bilstm_truncation_matches_torch_sliced(rng):
+    """Masked state-freezing == physically truncating the batch (the
+    reference's dynamic truncation, `awd_lstm.py:149-150`)."""
+    B, T, E, max_len = 3, 20, 8, 11
+    x = rng.normal(size=(B, T, E)).astype(np.float32)
+    lstm = make_torch_lstm(E, E, 2, seed=1)
+    with torch.no_grad():
+        _, (hn_t, _) = lstm(torch.tensor(x[:, :max_len]))
+    layers = torch_params_to_jax(lstm, 2)
+    _, hn_j, _ = bilstm(layers, jnp.asarray(x), max_len=max_len)
+    np.testing.assert_allclose(np.asarray(hn_j), hn_t.numpy(), atol=2e-5)
+
+
+def test_bilstm_per_row_max_len(rng):
+    """Per-row lengths reproduce separate per-group truncated calls."""
+    E = 8
+    lstm = make_torch_lstm(E, E, 2, seed=2)
+    layers = torch_params_to_jax(lstm, 2)
+    T = 16
+    xa = rng.normal(size=(2, T, E)).astype(np.float32)
+    xb = rng.normal(size=(2, T, E)).astype(np.float32)
+    len_a, len_b = 9, 14
+    with torch.no_grad():
+        _, (hn_a, _) = lstm(torch.tensor(xa[:, :len_a]))
+        _, (hn_b, _) = lstm(torch.tensor(xb[:, :len_b]))
+    x = jnp.concatenate([jnp.asarray(xa), jnp.asarray(xb)], axis=0)
+    max_len = jnp.array([len_a, len_a, len_b, len_b], jnp.int32)
+    _, hn_j, _ = bilstm(layers, x, max_len=max_len)
+    np.testing.assert_allclose(np.asarray(hn_j[:, :2]), hn_a.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(hn_j[:, 2:]), hn_b.numpy(), atol=2e-5)
+
+
+def test_bilstm_grouped_whh_equals_separate_calls(rng):
+    """Grouped per-call w_hh (weight-drop groups) == independent scans."""
+    E, T = 8, 12
+    key = jax.random.PRNGKey(3)
+    layers = init_lstm_params(key, E, E, 1)
+    xa = jnp.asarray(rng.normal(size=(3, T, E)).astype(np.float32))
+    xb = jnp.asarray(rng.normal(size=(3, T, E)).astype(np.float32))
+
+    wa = layers[0]["fwd"]["w_hh"] * 1.3
+    wb = layers[0]["fwd"]["w_hh"] * 0.7
+
+    la = [dict(fwd=dict(layers[0]["fwd"], w_hh=wa), bwd=layers[0]["bwd"])]
+    lb = [dict(fwd=dict(layers[0]["fwd"], w_hh=wb), bwd=layers[0]["bwd"])]
+    _, hn_a, _ = bilstm(la, xa)
+    _, hn_b, _ = bilstm(lb, xb)
+
+    grouped = [
+        dict(
+            fwd=dict(layers[0]["fwd"], w_hh=jnp.stack([wa, wb])),
+            bwd=dict(
+                layers[0]["bwd"],
+                w_hh=jnp.broadcast_to(
+                    layers[0]["bwd"]["w_hh"], (2,) + layers[0]["bwd"]["w_hh"].shape
+                ),
+            ),
+        )
+    ]
+    x = jnp.concatenate([xa, xb], axis=0)
+    _, hn_g, _ = bilstm(grouped, x)
+    np.testing.assert_allclose(np.asarray(hn_g[:, :3]), np.asarray(hn_a), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hn_g[:, 3:]), np.asarray(hn_b), atol=1e-5)
+
+
+def test_bilstm_jit_and_grad(rng):
+    E, T, B = 8, 10, 2
+    layers = init_lstm_params(jax.random.PRNGKey(0), E, E, 2)
+    x = jnp.asarray(rng.normal(size=(B, T, E)).astype(np.float32))
+
+    @jax.jit
+    def loss_fn(layers, x):
+        _, hn, _ = bilstm(layers, x, max_len=7)
+        return jnp.sum(hn**2)
+
+    g = jax.grad(loss_fn)(layers, x)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in flat)
+    assert any(float(jnp.abs(l).sum()) > 0 for l in flat)
