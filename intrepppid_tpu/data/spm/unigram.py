@@ -1,0 +1,200 @@
+"""Pure-Python unigram-LM tokeniser engine (SentencePiece-compatible).
+
+Implements the two encode modes the reference uses
+(`intrepppid/data/ppi_oma.py:375`):
+
+* deterministic Viterbi segmentation (``enable_sampling=False`` — val/test),
+* subword-regularised sampling with ``alpha`` (inverse temperature) over the
+  full lattice (``enable_sampling=True, alpha=0.1, nbest_size=-1`` — train),
+  via forward-filtering / backward-sampling, exactly the algorithm
+  SentencePiece's ``Lattice::Sample`` uses (Kudo 2018, arXiv:1804.10959).
+
+Unknown characters map to the model's ``unk_id`` with the SentencePiece
+unknown penalty (score = min_piece_score - 10.0). CONTROL/UNUSED pieces are
+never matched in text. Normalisation approximates the common specs without
+the precompiled charsmap: NFKC + whitespace handling — an identity on amino
+acid sequences, the domain of this framework.
+
+This is the reference implementation and test oracle; the C++ engine in
+``intrepppid_tpu/native`` is the production path (same algorithms).
+"""
+from __future__ import annotations
+
+import math
+import unicodedata
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from intrepppid_tpu.data.spm.proto import (
+    BYTE,
+    CONTROL,
+    UNUSED,
+    SpmModel,
+    load_model,
+)
+
+_WS = "▁"  # ▁
+_UNK_PENALTY = 10.0
+
+
+class UnigramTokenizer:
+    def __init__(self, model: SpmModel):
+        self.model = model
+        self.pieces = model.pieces
+        self.unk_id = model.unk_id
+        self.bos_id = model.bos_id
+        self.eos_id = model.eos_id
+        self.pad_id = model.pad_id
+        self._rng = np.random.default_rng()
+
+        # char-keyed nested-dict trie: node = {char: node, 0: (id, score)}
+        self.trie: dict = {}
+        self.max_piece_len = 1
+        min_score = 0.0
+        for idx, p in enumerate(self.pieces):
+            if p.type in (CONTROL, UNUSED, BYTE):
+                continue
+            if idx == self.unk_id:
+                continue
+            node = self.trie
+            for ch in p.piece:
+                node = node.setdefault(ch, {})
+            node[0] = (idx, p.score)
+            self.max_piece_len = max(self.max_piece_len, len(p.piece))
+            min_score = min(min_score, p.score)
+        self.unk_score = min_score - _UNK_PENALTY
+
+    @classmethod
+    def from_file(cls, path) -> "UnigramTokenizer":
+        return cls(load_model(path))
+
+    # ------------------------------------------------------------ normalise
+    def normalize(self, text: str) -> str:
+        spec = self.model.normalizer
+        if spec.name not in ("identity",):
+            text = unicodedata.normalize("NFKC", text)
+        if spec.remove_extra_whitespaces:
+            text = " ".join(text.split())
+        if spec.add_dummy_prefix and text:
+            text = " " + text
+        if spec.escape_whitespaces:
+            text = text.replace(" ", _WS)
+        return text
+
+    # -------------------------------------------------------------- lattice
+    def _edges(self, s: str):
+        """edges[i] = list of (end, piece_id, score) for matches starting at i,
+        always including the single-char unknown fallback."""
+        n = len(s)
+        edges: List[List[tuple]] = [[] for _ in range(n)]
+        for i in range(n):
+            node = self.trie
+            matched_single = False
+            for j in range(i, min(i + self.max_piece_len, n)):
+                node = node.get(s[j])
+                if node is None:
+                    break
+                hit = node.get(0)
+                if hit is not None:
+                    edges[i].append((j + 1, hit[0], hit[1]))
+                    if j == i:
+                        matched_single = True
+            if not matched_single:
+                edges[i].append((i + 1, self.unk_id, self.unk_score))
+        return edges
+
+    def set_random_generator_seed(self, seed: int) -> None:
+        """Equivalent of ``sentencepiece.set_random_generator_seed``
+        (`intrepppid/data/ppi_oma.py:550`)."""
+        self._rng = np.random.default_rng(seed)
+
+    def encode(
+        self,
+        text: str,
+        enable_sampling: bool = False,
+        alpha: float = 0.1,
+        nbest_size: int = -1,
+        rng: Optional[np.random.Generator] = None,
+    ) -> List[int]:
+        """Tokenise ``text`` to piece ids.
+
+        ``nbest_size`` is accepted for API parity; sampling always draws from
+        the full lattice (the reference always passes ``nbest_size=-1``).
+        """
+        s = self.normalize(text)
+        n = len(s)
+        if n == 0:
+            return []
+        edges = self._edges(s)
+        if enable_sampling:
+            return self._sample(s, edges, alpha, rng or self._rng)
+        return self._viterbi(s, edges)
+
+    def _viterbi(self, s: str, edges) -> List[int]:
+        n = len(s)
+        best = [-math.inf] * (n + 1)
+        back: List[Optional[tuple]] = [None] * (n + 1)
+        best[0] = 0.0
+        for i in range(n):
+            if best[i] == -math.inf:
+                continue
+            for end, pid, score in edges[i]:
+                cand = best[i] + score
+                if cand > best[end]:
+                    best[end] = cand
+                    back[end] = (i, pid)
+        out = []
+        pos = n
+        while pos > 0:
+            i, pid = back[pos]
+            out.append(pid)
+            pos = i
+        out.reverse()
+        return out
+
+    def _sample(self, s: str, edges, alpha: float, rng: np.random.Generator) -> List[int]:
+        n = len(s)
+        # forward: log-sum-exp of alpha-scaled path scores ending at i
+        fwd = [-math.inf] * (n + 1)
+        fwd[0] = 0.0
+        incoming: List[List[tuple]] = [[] for _ in range(n + 1)]
+        for i in range(n):
+            for end, pid, score in edges[i]:
+                incoming[end].append((i, pid, score))
+        for end in range(1, n + 1):
+            acc = -math.inf
+            for i, pid, score in incoming[end]:
+                if fwd[i] == -math.inf:
+                    continue
+                val = fwd[i] + alpha * score
+                acc = val if acc == -math.inf else (
+                    max(acc, val) + math.log1p(math.exp(-abs(acc - val)))
+                )
+            fwd[end] = acc
+        # backward: sample incoming edge with prob ∝ exp(fwd[i] + α·score)
+        out = []
+        pos = n
+        while pos > 0:
+            cands = [
+                (i, pid, fwd[i] + alpha * score)
+                for i, pid, score in incoming[pos]
+                if fwd[i] != -math.inf
+            ]
+            logz = cands[0][2]
+            for _, _, lw in cands[1:]:
+                logz = max(logz, lw) + math.log1p(math.exp(-abs(logz - lw)))
+            probs = np.array([math.exp(lw - logz) for _, _, lw in cands])
+            probs /= probs.sum()
+            k = int(rng.choice(len(cands), p=probs))
+            i, pid, _ = cands[k]
+            out.append(pid)
+            pos = i
+        out.reverse()
+        return out
+
+    def id_to_piece(self, idx: int) -> str:
+        return self.pieces[idx].piece
+
+    def vocab_size(self) -> int:
+        return len(self.pieces)

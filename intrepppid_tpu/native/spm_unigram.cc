@@ -1,0 +1,424 @@
+// Native unigram-LM tokeniser engine for intrepppid_tpu.
+//
+// The reference offloads tokenisation to the SentencePiece C++ library
+// (`intrepppid/data/ppi_oma.py:313,375`); this framework ships its own
+// engine instead. Host-side tokenisation is the data-path hot loop (five
+// sampled encodes per training sample per epoch, SURVEY.md §3.1), so the
+// production path is C++ (this file, loaded via ctypes) with the
+// pure-Python engine in data/spm/unigram.py as fallback and test oracle.
+//
+// Implements, over a SentencePiece ModelProto (.model file):
+//   * minimal protobuf wire parsing of pieces / trainer_spec / normalizer_spec
+//   * Viterbi segmentation (deterministic encode)
+//   * forward-filtering backward-sampling subword regularisation
+//     (enable_sampling=true, alpha, nbest_size=-1 semantics; Kudo 2018)
+//   * unknown chars -> unk_id with SentencePiece's min_score - 10.0 penalty
+//
+// Input strings must already be normalised (the Python facade applies the
+// normalizer spec; for amino-acid sequences it is the identity).
+//
+// Build: see Makefile (g++ -O3 -shared -fPIC). C API only — consumed with
+// ctypes, no pybind11 dependency.
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <random>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr float kUnkPenalty = 10.0f;
+
+struct Piece {
+  std::string text;
+  float score;
+  int type;  // 1=NORMAL 2=UNKNOWN 3=CONTROL 4=USER_DEFINED 5=UNUSED 6=BYTE
+};
+
+// ------------------------------------------------------------ proto reader
+
+struct Cursor {
+  const uint8_t* p;
+  const uint8_t* end;
+};
+
+bool ReadVarint(Cursor& c, uint64_t* out) {
+  uint64_t result = 0;
+  int shift = 0;
+  while (c.p < c.end) {
+    uint8_t b = *c.p++;
+    result |= static_cast<uint64_t>(b & 0x7F) << shift;
+    if (!(b & 0x80)) {
+      *out = result;
+      return true;
+    }
+    shift += 7;
+    if (shift > 63) return false;
+  }
+  return false;
+}
+
+bool SkipField(Cursor& c, uint32_t wire_type) {
+  uint64_t tmp;
+  switch (wire_type) {
+    case 0:
+      return ReadVarint(c, &tmp);
+    case 1:
+      if (c.end - c.p < 8) return false;
+      c.p += 8;
+      return true;
+    case 2:
+      if (!ReadVarint(c, &tmp)) return false;
+      if (static_cast<uint64_t>(c.end - c.p) < tmp) return false;
+      c.p += tmp;
+      return true;
+    case 5:
+      if (c.end - c.p < 4) return false;
+      c.p += 4;
+      return true;
+    default:
+      return false;
+  }
+}
+
+struct TrieNode {
+  // Flat byte-keyed children; vocabularies are small (hundreds of pieces).
+  std::unordered_map<uint8_t, int> children;
+  int piece_id = -1;
+  float score = 0.0f;
+};
+
+struct Model {
+  std::vector<Piece> pieces;
+  std::vector<TrieNode> trie;
+  int unk_id = 0;
+  int bos_id = 1;
+  int eos_id = 2;
+  int pad_id = -1;
+  int max_piece_len = 1;
+  float unk_score = -kUnkPenalty;
+  std::mt19937_64 rng{std::random_device{}()};
+};
+
+bool ParsePiece(Cursor c, Piece* out) {
+  out->score = 0.0f;
+  out->type = 1;
+  while (c.p < c.end) {
+    uint64_t tag;
+    if (!ReadVarint(c, &tag)) return false;
+    uint32_t fnum = tag >> 3, wt = tag & 7;
+    if (fnum == 1 && wt == 2) {
+      uint64_t len;
+      if (!ReadVarint(c, &len)) return false;
+      out->text.assign(reinterpret_cast<const char*>(c.p), len);
+      c.p += len;
+    } else if (fnum == 2 && wt == 5) {
+      memcpy(&out->score, c.p, 4);
+      c.p += 4;
+    } else if (fnum == 3 && wt == 0) {
+      uint64_t v;
+      if (!ReadVarint(c, &v)) return false;
+      out->type = static_cast<int>(v);
+    } else if (!SkipField(c, wt)) {
+      return false;
+    }
+  }
+  return true;
+}
+
+void ParseTrainerSpec(Cursor c, Model* m) {
+  while (c.p < c.end) {
+    uint64_t tag;
+    if (!ReadVarint(c, &tag)) return;
+    uint32_t fnum = tag >> 3, wt = tag & 7;
+    if (wt == 0 && fnum >= 40 && fnum <= 43) {
+      uint64_t v;
+      if (!ReadVarint(c, &v)) return;
+      int64_t sv = static_cast<int64_t>(v);
+      switch (fnum) {
+        case 40: m->unk_id = sv; break;
+        case 41: m->bos_id = sv; break;
+        case 42: m->eos_id = sv; break;
+        case 43: m->pad_id = sv; break;
+      }
+    } else if (!SkipField(c, wt)) {
+      return;
+    }
+  }
+}
+
+void BuildTrie(Model* m) {
+  m->trie.clear();
+  m->trie.emplace_back();
+  float min_score = 0.0f;
+  bool saw_unknown_type = false;
+  int unknown_type_id = 0;
+  for (size_t id = 0; id < m->pieces.size(); ++id) {
+    const Piece& p = m->pieces[id];
+    if (p.type == 2 && !saw_unknown_type) {
+      saw_unknown_type = true;
+      unknown_type_id = static_cast<int>(id);
+    }
+    if (p.type == 2 || p.type == 3 || p.type == 5 || p.type == 6) continue;
+    int node = 0;
+    for (unsigned char ch : p.text) {
+      auto it = m->trie[node].children.find(ch);
+      if (it == m->trie[node].children.end()) {
+        m->trie[node].children.emplace(ch, static_cast<int>(m->trie.size()));
+        node = static_cast<int>(m->trie.size());
+        m->trie.emplace_back();
+      } else {
+        node = it->second;
+      }
+    }
+    m->trie[node].piece_id = static_cast<int>(id);
+    m->trie[node].score = p.score;
+    if (static_cast<int>(p.text.size()) > m->max_piece_len)
+      m->max_piece_len = static_cast<int>(p.text.size());
+    if (p.score < min_score) min_score = p.score;
+  }
+  if (m->unk_id < 0 && saw_unknown_type) m->unk_id = unknown_type_id;
+  m->unk_score = min_score - kUnkPenalty;
+}
+
+int Utf8CharLen(uint8_t b) {
+  if (b < 0x80) return 1;
+  if ((b >> 5) == 0x6) return 2;
+  if ((b >> 4) == 0xE) return 3;
+  if ((b >> 3) == 0x1E) return 4;
+  return 1;
+}
+
+struct Edge {
+  int start;
+  int piece_id;
+  float score;
+};
+
+// Builds incoming-edge lists per end position (byte indexed).
+void BuildLattice(const Model& m, const char* text, int n,
+                  std::vector<std::vector<Edge>>* incoming) {
+  incoming->assign(n + 1, {});
+  for (int i = 0; i < n;) {
+    int char_len = Utf8CharLen(static_cast<uint8_t>(text[i]));
+    if (i + char_len > n) char_len = 1;
+    bool matched_single = false;
+    int node = 0;
+    int limit = std::min(n, i + m.max_piece_len);
+    for (int j = i; j < limit; ++j) {
+      auto it = m.trie[node].children.find(static_cast<uint8_t>(text[j]));
+      if (it == m.trie[node].children.end()) break;
+      node = it->second;
+      if (m.trie[node].piece_id >= 0) {
+        (*incoming)[j + 1].push_back({i, m.trie[node].piece_id, m.trie[node].score});
+        if (j + 1 == i + char_len) matched_single = true;
+      }
+    }
+    if (!matched_single) {
+      (*incoming)[i + char_len].push_back({i, m.unk_id, m.unk_score});
+    }
+    i += char_len;
+  }
+}
+
+int ViterbiEncode(const Model& m, const char* text, int n, int* out, int max_out) {
+  std::vector<std::vector<Edge>> incoming;
+  BuildLattice(m, text, n, &incoming);
+  std::vector<float> best(n + 1, -1e30f);
+  std::vector<int> back_start(n + 1, -1), back_piece(n + 1, -1);
+  best[0] = 0.0f;
+  for (int end = 1; end <= n; ++end) {
+    for (const Edge& e : incoming[end]) {
+      if (best[e.start] <= -1e29f) continue;
+      float cand = best[e.start] + e.score;
+      if (cand > best[end]) {
+        best[end] = cand;
+        back_start[end] = e.start;
+        back_piece[end] = e.piece_id;
+      }
+    }
+  }
+  if (back_start[n] < 0 && n > 0) return -1;
+  int count = 0;
+  for (int pos = n; pos > 0; pos = back_start[pos]) ++count;
+  if (count > max_out) return -count;
+  int idx = count;
+  for (int pos = n; pos > 0; pos = back_start[pos]) out[--idx] = back_piece[pos];
+  return count;
+}
+
+float LogSumExp(float a, float b) {
+  if (a < b) std::swap(a, b);
+  if (b <= -1e29f) return a;
+  return a + std::log1p(std::exp(b - a));
+}
+
+int SampleEncode(Model& m, const char* text, int n, float alpha, int* out,
+                 int max_out) {
+  std::vector<std::vector<Edge>> incoming;
+  BuildLattice(m, text, n, &incoming);
+  std::vector<float> fwd(n + 1, -1e30f);
+  fwd[0] = 0.0f;
+  for (int end = 1; end <= n; ++end) {
+    float acc = -1e30f;
+    for (const Edge& e : incoming[end]) {
+      if (fwd[e.start] <= -1e29f) continue;
+      acc = LogSumExp(acc, fwd[e.start] + alpha * e.score);
+    }
+    fwd[end] = acc;
+  }
+  if (n > 0 && fwd[n] <= -1e29f) return -1;
+  std::vector<int> rev;
+  rev.reserve(16);
+  std::vector<double> weights;
+  int pos = n;
+  std::uniform_real_distribution<double> uni(0.0, 1.0);
+  while (pos > 0) {
+    const auto& edges = incoming[pos];
+    weights.clear();
+    float logz = -1e30f;
+    for (const Edge& e : edges) {
+      if (fwd[e.start] <= -1e29f) {
+        weights.push_back(-1e30);
+        continue;
+      }
+      float lw = fwd[e.start] + alpha * e.score;
+      weights.push_back(lw);
+      logz = LogSumExp(logz, lw);
+    }
+    double r = uni(m.rng);
+    double cum = 0.0;
+    int chosen = -1;
+    for (size_t k = 0; k < edges.size(); ++k) {
+      if (weights[k] <= -1e29) continue;
+      cum += std::exp(weights[k] - logz);
+      if (r <= cum) {
+        chosen = static_cast<int>(k);
+        break;
+      }
+    }
+    if (chosen < 0) {
+      // numerical slack: take the last viable edge
+      for (int k = static_cast<int>(edges.size()) - 1; k >= 0; --k) {
+        if (weights[k] > -1e29) {
+          chosen = k;
+          break;
+        }
+      }
+      if (chosen < 0) return -1;
+    }
+    rev.push_back(edges[chosen].piece_id);
+    pos = edges[chosen].start;
+  }
+  int count = static_cast<int>(rev.size());
+  if (count > max_out) return -count;
+  for (int k = 0; k < count; ++k) out[k] = rev[count - 1 - k];
+  return count;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* spm_load(const char* path) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  std::fseek(f, 0, SEEK_END);
+  long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf(size);
+  if (std::fread(buf.data(), 1, size, f) != static_cast<size_t>(size)) {
+    std::fclose(f);
+    return nullptr;
+  }
+  std::fclose(f);
+
+  auto* m = new Model();
+  Cursor c{buf.data(), buf.data() + buf.size()};
+  while (c.p < c.end) {
+    uint64_t tag;
+    if (!ReadVarint(c, &tag)) break;
+    uint32_t fnum = tag >> 3, wt = tag & 7;
+    if (fnum == 1 && wt == 2) {
+      uint64_t len;
+      if (!ReadVarint(c, &len)) break;
+      Piece piece;
+      if (!ParsePiece(Cursor{c.p, c.p + len}, &piece)) break;
+      m->pieces.push_back(std::move(piece));
+      c.p += len;
+    } else if (fnum == 2 && wt == 2) {
+      uint64_t len;
+      if (!ReadVarint(c, &len)) break;
+      ParseTrainerSpec(Cursor{c.p, c.p + len}, m);
+      c.p += len;
+    } else if (!SkipField(c, wt)) {
+      break;
+    }
+  }
+  if (m->pieces.empty()) {
+    delete m;
+    return nullptr;
+  }
+  BuildTrie(m);
+  return m;
+}
+
+void spm_free(void* h) { delete static_cast<Model*>(h); }
+
+void spm_seed(void* h, uint64_t seed) {
+  static_cast<Model*>(h)->rng.seed(seed);
+}
+
+int spm_vocab_size(void* h) {
+  return static_cast<int>(static_cast<Model*>(h)->pieces.size());
+}
+
+int spm_unk_id(void* h) { return static_cast<Model*>(h)->unk_id; }
+int spm_bos_id(void* h) { return static_cast<Model*>(h)->bos_id; }
+int spm_eos_id(void* h) { return static_cast<Model*>(h)->eos_id; }
+int spm_pad_id(void* h) { return static_cast<Model*>(h)->pad_id; }
+
+// Encode a pre-normalised UTF-8 string. Returns token count, or negative
+// required size if max_out is too small, -1 on failure.
+int spm_encode(void* h, const char* text, int text_len, int sampling,
+               float alpha, int* out, int max_out) {
+  Model* m = static_cast<Model*>(h);
+  if (text_len == 0) return 0;
+  if (sampling) return SampleEncode(*m, text, text_len, alpha, out, max_out);
+  return ViterbiEncode(*m, text, text_len, out, max_out);
+}
+
+// Batch encode with right-padding to trunc_len (the reference's
+// static_encode pad semantics, `intrepppid/data/ppi_oma.py:388-390`).
+// texts: concatenated bytes; offsets: n+1 prefix offsets. out: (n, trunc_len)
+// int32, zero-initialised by callee. Each row i gets min(count, trunc_len)
+// ids (sequences longer than trunc_len are truncated at the char level by
+// the caller, matching the reference's seq[:trunc_len]).
+int spm_encode_batch(void* h, const char* texts, const int64_t* offsets,
+                     int n, int sampling, float alpha, int32_t* out,
+                     int trunc_len) {
+  Model* m = static_cast<Model*>(h);
+  std::vector<int> tmp;
+  for (int i = 0; i < n; ++i) {
+    const char* s = texts + offsets[i];
+    int len = static_cast<int>(offsets[i + 1] - offsets[i]);
+    tmp.assign(len + 1, 0);
+    int cnt = 0;
+    if (len > 0) {
+      cnt = sampling ? SampleEncode(*m, s, len, alpha, tmp.data(), len + 1)
+                     : ViterbiEncode(*m, s, len, tmp.data(), len + 1);
+      if (cnt < 0) return -(i + 1);
+    }
+    int32_t* row = out + static_cast<int64_t>(i) * trunc_len;
+    int keep = cnt < trunc_len ? cnt : trunc_len;
+    for (int k = 0; k < keep; ++k) row[k] = tmp[k];
+    for (int k = keep; k < trunc_len; ++k) row[k] = 0;
+  }
+  return 0;
+}
+
+}  // extern "C"

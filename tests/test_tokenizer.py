@@ -1,0 +1,220 @@
+"""Tokenizer subsystem tests: proto roundtrip, Viterbi vs brute force,
+lattice-sampling distribution, native C++ vs Python engine parity."""
+import itertools
+import math
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from intrepppid_tpu.data.spm.proto import (
+    NORMAL,
+    UNKNOWN,
+    NormalizerSpec,
+    SentencePieceEntry,
+    SpmModel,
+    load_model,
+    save_model,
+)
+from intrepppid_tpu.data.spm.unigram import UnigramTokenizer
+from intrepppid_tpu.data.tokenizer import (
+    SentencePieceTokenizer,
+    set_random_generator_seed,
+)
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+
+@pytest.fixture(scope="module")
+def model_path(tmp_path_factory):
+    path = FIXTURES / "tiny_spm.model"
+    if not path.exists():
+        subprocess.run(
+            [sys.executable, str(FIXTURES / "make_fixtures.py")], check=True
+        )
+    return path
+
+
+def brute_force_segmentations(tok: UnigramTokenizer, s: str):
+    """All (ids, score) segmentations incl. unknown fallback, by recursion."""
+    pieces = {}
+    for idx, p in enumerate(tok.pieces):
+        if p.type == NORMAL:
+            pieces[p.piece] = (idx, p.score)
+
+    results = []
+
+    def rec(pos, ids, score):
+        if pos == len(s):
+            results.append((tuple(ids), score))
+            return
+        for ln in range(1, len(s) - pos + 1):
+            sub = s[pos : pos + ln]
+            if sub in pieces:
+                idx, sc = pieces[sub]
+                rec(pos + ln, ids + [idx], score + sc)
+        if s[pos] not in pieces:
+            rec(pos + 1, ids + [tok.unk_id], score + tok.unk_score)
+
+    rec(0, [], 0.0)
+    return results
+
+
+class TestProto:
+    def test_roundtrip(self, model_path, tmp_path):
+        model = load_model(model_path)
+        assert model.unk_id == 0 and model.bos_id == 1 and model.eos_id == 2
+        assert model.pieces[0].type == UNKNOWN
+        assert model.pieces[3].piece in "ARNDCQEGHILKMFPSTWYV"
+        out = tmp_path / "copy.model"
+        save_model(model, out)
+        model2 = load_model(out)
+        assert [p.piece for p in model2.pieces] == [p.piece for p in model.pieces]
+        np.testing.assert_allclose(
+            [p.score for p in model2.pieces], [p.score for p in model.pieces]
+        )
+        assert model2.pad_id == -1  # negative varint roundtrip
+
+    def test_skips_unknown_fields(self, model_path):
+        # prepend an unknown field (fnum 15, varint) — parser must skip it
+        raw = model_path.read_bytes()
+        extra = bytes([(15 << 3) | 0, 5]) + raw
+        from intrepppid_tpu.data.spm.proto import parse_model
+
+        model = parse_model(extra)
+        assert len(model.pieces) > 20
+
+
+class TestViterbi:
+    @pytest.mark.parametrize("s", ["MKL", "AAAL", "GGSSEKKE", "M", "LLLLLL", "MKXLA"])
+    def test_matches_brute_force(self, model_path, s):
+        tok = UnigramTokenizer.from_file(model_path)
+        segs = brute_force_segmentations(tok, s)
+        best_ids, best_score = max(segs, key=lambda t: t[1])
+        got = tok.encode(s)
+        got_score = sum(
+            tok.pieces[i].score if i != tok.unk_id else tok.unk_score for i in got
+        )
+        assert abs(got_score - best_score) < 1e-6
+        assert tuple(got) == best_ids or abs(got_score - best_score) < 1e-6
+
+    def test_unknown_char_maps_to_unk(self, model_path):
+        tok = UnigramTokenizer.from_file(model_path)
+        ids = tok.encode("MK*L")
+        assert tok.unk_id in ids
+
+    def test_empty_string(self, model_path):
+        tok = UnigramTokenizer.from_file(model_path)
+        assert tok.encode("") == []
+
+
+class TestSampling:
+    def test_distribution_matches_lattice(self, model_path):
+        """Empirical FFBS sampling distribution == exact alpha-scaled
+        lattice posterior (Kudo 2018 subword regularisation)."""
+        tok = UnigramTokenizer.from_file(model_path)
+        tok.set_random_generator_seed(123)
+        s = "MKL"
+        alpha = 0.5
+        segs = brute_force_segmentations(tok, s)
+        logps = np.array([alpha * sc for _, sc in segs])
+        probs = np.exp(logps - logps.max())
+        probs /= probs.sum()
+        exact = {ids: p for (ids, _), p in zip(segs, probs)}
+
+        counts = {}
+        n = 4000
+        for _ in range(n):
+            ids = tuple(tok.encode(s, enable_sampling=True, alpha=alpha))
+            counts[ids] = counts.get(ids, 0) + 1
+        assert set(counts) <= set(exact)
+        for ids, p in exact.items():
+            if p > 0.02:
+                emp = counts.get(ids, 0) / n
+                assert abs(emp - p) < 0.035, (ids, emp, p)
+
+    def test_seeding_deterministic(self, model_path):
+        tok = UnigramTokenizer.from_file(model_path)
+        tok.set_random_generator_seed(7)
+        a = [tok.encode("MKLAAAGGS", enable_sampling=True) for _ in range(5)]
+        tok.set_random_generator_seed(7)
+        b = [tok.encode("MKLAAAGGS", enable_sampling=True) for _ in range(5)]
+        assert a == b
+
+
+class TestNativeEngine:
+    def test_native_available(self, model_path):
+        tok = SentencePieceTokenizer(model_path)
+        assert tok.uses_native, "native engine failed to build/load"
+
+    def test_native_viterbi_matches_python(self, model_path):
+        tok = SentencePieceTokenizer(model_path)
+        if not tok.uses_native:
+            pytest.skip("no native lib")
+        rng = np.random.default_rng(0)
+        aas = list("ARNDCQEGHILKMFPSTWYV")
+        for _ in range(50):
+            s = "".join(rng.choice(aas, size=int(rng.integers(1, 40))))
+            assert tok.encode(s) == tok._py.encode(s), s
+
+    def test_native_sampling_distribution(self, model_path):
+        tok = SentencePieceTokenizer(model_path)
+        if not tok.uses_native:
+            pytest.skip("no native lib")
+        tok.seed(99)
+        s = "MKL"
+        alpha = 0.5
+        py = UnigramTokenizer.from_file(model_path)
+        segs = brute_force_segmentations(py, s)
+        logps = np.array([alpha * sc for _, sc in segs])
+        probs = np.exp(logps - logps.max())
+        probs /= probs.sum()
+        exact = {ids: p for (ids, _), p in zip(segs, probs)}
+        counts = {}
+        n = 4000
+        for _ in range(n):
+            ids = tuple(tok.encode(s, enable_sampling=True, alpha=alpha))
+            counts[ids] = counts.get(ids, 0) + 1
+        assert set(counts) <= set(exact)
+        for ids, p in exact.items():
+            if p > 0.02:
+                assert abs(counts.get(ids, 0) / n - p) < 0.035
+
+    def test_native_seed_deterministic(self, model_path):
+        tok = SentencePieceTokenizer(model_path)
+        if not tok.uses_native:
+            pytest.skip("no native lib")
+        tok.seed(5)
+        a = [tok.encode("MKLAAAGGS", enable_sampling=True) for _ in range(5)]
+        tok.seed(5)
+        b = [tok.encode("MKLAAAGGS", enable_sampling=True) for _ in range(5)]
+        assert a == b
+
+    def test_batch_encode_padded(self, model_path):
+        tok = SentencePieceTokenizer(model_path)
+        texts = ["MKL", "AAALLL", "", "GGSSEKKEMKLMKL"]
+        out = tok.encode_batch_padded(texts, trunc_len=8)
+        assert out.shape == (4, 8) and out.dtype == np.int32
+        for i, t in enumerate(texts):
+            expect = tok.encode(t[:8])[:8]
+            assert list(out[i, : len(expect)]) == expect
+            assert np.all(out[i, len(expect) :] == 0)
+
+    def test_batch_char_truncation(self, model_path):
+        tok = SentencePieceTokenizer(model_path)
+        long = "MKL" * 50
+        out = tok.encode_batch_padded([long], trunc_len=6)
+        expect = tok.encode(long[:6])
+        assert list(out[0, : len(expect)]) == expect
+
+
+class TestModuleSeed:
+    def test_global_seed_applies(self, model_path):
+        tok = SentencePieceTokenizer(model_path)
+        set_random_generator_seed(11)
+        a = tok.encode("MKLAAAGGS", enable_sampling=True)
+        set_random_generator_seed(11)
+        b = tok.encode("MKLAAAGGS", enable_sampling=True)
+        assert a == b
