@@ -1,0 +1,60 @@
+"""Host -> device input pipeline.
+
+The reference's throughput device-feeding comes from forked DataLoader
+workers (`intrepppid/data/ppi_oma.py:611-620`). The TPU-native equivalent is
+a background producer thread (the native tokenizer releases the GIL during
+its C++ batch call) plus asynchronous ``jax.device_put`` double-buffering:
+batch N+1 is tokenised and transferred to HBM while the TPU executes step N.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+_SENTINEL = object()
+
+
+def prefetch_to_device(
+    batches: Iterator[Dict[str, np.ndarray]],
+    size: int = 2,
+    sharding=None,
+) -> Iterator:
+    """Wrap a host batch iterator with a prefetching device-transfer thread.
+
+    :param batches: iterator of numpy batch dicts.
+    :param size: prefetch depth (2 = double buffering).
+    :param sharding: optional ``jax.sharding.Sharding`` for multi-device
+        placement of each array; None = default device placement.
+    """
+    q: queue.Queue = queue.Queue(maxsize=size)
+    err: list = []
+
+    def produce():
+        try:
+            for batch in batches:
+                if sharding is not None:
+                    device_batch = {
+                        k: jax.device_put(v, sharding) for k, v in batch.items()
+                    }
+                else:
+                    device_batch = jax.device_put(batch)
+                q.put(device_batch)
+        except Exception as e:  # propagate into the consumer
+            err.append(e)
+        finally:
+            q.put(_SENTINEL)
+
+    thread = threading.Thread(target=produce, daemon=True)
+    thread.start()
+
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            if err:
+                raise err[0]
+            return
+        yield item

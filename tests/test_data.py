@@ -1,0 +1,229 @@
+"""Data layer tests over the tiny HDF5 + spm fixtures."""
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from intrepppid_tpu.data import (
+    IntrepppidDataModule,
+    IntrepppidDataset,
+    OmaTripletDataModule,
+    RapppidDataModule2,
+    prefetch_to_device,
+)
+from intrepppid_tpu.data.utils import AAS, encode_seq, get_aa_code
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+
+@pytest.fixture(scope="module")
+def fixtures():
+    if not (FIXTURES / "tiny.h5").exists() or not (FIXTURES / "tiny_spm.model").exists():
+        subprocess.run([sys.executable, str(FIXTURES / "make_fixtures.py")], check=True)
+    return FIXTURES
+
+
+class TestAACodec:
+    def test_codes(self):
+        assert get_aa_code("PAD") == 0
+        assert get_aa_code("A") == 1
+        assert get_aa_code("O") == 21
+        assert get_aa_code("U") == 22
+
+    def test_wobble_resolves_to_constituents(self):
+        import random
+
+        rng = random.Random(0)
+        for _ in range(20):
+            assert get_aa_code("B", rng) in (AAS.index("D"), AAS.index("N"))
+            assert get_aa_code("Z", rng) in (AAS.index("Q"), AAS.index("E"))
+        xs = {get_aa_code("X", rng) for _ in range(100)}
+        assert len(xs) > 5 and 0 not in xs
+
+    def test_encode_seq(self):
+        assert encode_seq("AR") == [1, 2]
+
+
+class TestDataset:
+    def test_loads_and_items(self, fixtures):
+        ds = IntrepppidDataset(
+            fixtures / "tiny.h5", 3, "train", fixtures / "tiny_spm.model",
+            trunc_len=64, negative_omid=True, seed=1,
+        )
+        assert len(ds) == 24
+        item = ds[0]
+        assert len(item) == 6
+        p1, p2, anchor, positive, negative, label = item
+        for arr in (p1, p2, anchor, positive, negative):
+            assert arr.shape == (64,)
+            assert arr.dtype == np.int64
+        assert label in (0, 1)
+
+    def test_val_deterministic_tokens(self, fixtures):
+        ds = IntrepppidDataset(
+            fixtures / "tiny.h5", 3, "val", fixtures / "tiny_spm.model",
+            trunc_len=64, negative_omid=False, seed=1,
+        )
+        a = ds[0][0]
+        b = ds[0][0]
+        np.testing.assert_array_equal(a, b)  # sampling off in val
+
+    def test_missing_orthologue_falls_back_to_p1(self, fixtures):
+        ds = IntrepppidDataset(
+            fixtures / "tiny.h5", 3, "val", fixtures / "tiny_spm.model",
+            trunc_len=64, negative_omid=True, seed=1,
+        )
+        # force a missing anchor
+        ds.interactions[0] = ("P00000", "P00001", "NOPE", 1000, True)
+        p1, p2, anchor, positive, *_ = ds[0]
+        np.testing.assert_array_equal(anchor, p1)
+        np.testing.assert_array_equal(positive, p1)
+
+    def test_member_fallback_M(self, fixtures):
+        ds = IntrepppidDataset(
+            fixtures / "tiny.h5", 3, "val", fixtures / "tiny_spm.model",
+            trunc_len=64, seed=1,
+        )
+        # group with only missing members -> encode("M")
+        ds.omid_members[99999] = ["MISSING_A", "MISSING_B"]
+        out = ds.get_omid_member(99999)
+        expect = ds.encode("M")
+        np.testing.assert_array_equal(out, expect)
+
+    def test_static_encode_pads_and_truncates(self, fixtures):
+        ds = IntrepppidDataset(
+            fixtures / "tiny.h5", 3, "val", fixtures / "tiny_spm.model",
+            trunc_len=10, seed=1,
+        )
+        out = ds.static_encode(10, ds.spp, "MKLAAA", sampling=False)
+        assert out.shape == (10,)
+        assert out[-1] == 0
+        long = ds.static_encode(10, ds.spp, "MKL" * 30, sampling=False)
+        assert long.shape == (10,)
+
+
+class TestDataModule:
+    def _dm(self, fixtures, **kw):
+        dm = IntrepppidDataModule(
+            batch_size=8,
+            dataset_path=fixtures / "tiny.h5",
+            c_type=3,
+            trunc_len=64,
+            workers=0,
+            vocab_size=38,
+            model_file=fixtures / "tiny_spm.model",
+            seed=42,
+            sos=False,
+            eos=False,
+            negative_omid=True,
+            **kw,
+        )
+        dm.setup()
+        return dm
+
+    def test_batches_shapes(self, fixtures):
+        dm = self._dm(fixtures)
+        batches = list(dm.train_batches(epoch=0))
+        assert len(batches) == dm.steps_per_epoch == 3
+        for b in batches:
+            B = b["label"].shape[0]
+            for k in ("p1", "p2", "anchor", "positive", "negative"):
+                assert b[k].shape[0] == B
+                assert b[k].dtype == np.int32
+            assert b["p1"].shape[1] <= 64
+
+    def test_bucketing(self, fixtures):
+        dm = self._dm(fixtures, bucket_lengths=[16, 32, 64])
+        for b in dm.train_batches(0):
+            assert b["p1"].shape[1] in (16, 32, 64)
+
+    def test_shuffle_differs_by_epoch(self, fixtures):
+        dm = self._dm(fixtures)
+        b0 = next(iter(dm.train_batches(0)))
+        b1 = next(iter(dm.train_batches(1)))
+        assert not np.array_equal(b0["label"], b1["label"]) or not np.array_equal(
+            b0["p1"], b1["p1"]
+        )
+
+    def test_val_cache_stable(self, fixtures):
+        dm = self._dm(fixtures)
+        v1 = list(dm.val_batches())
+        v2 = list(dm.val_batches())
+        for a, b in zip(v1, v2):
+            np.testing.assert_array_equal(a["p1"], b["p1"])
+            np.testing.assert_array_equal(a["negative"], b["negative"])
+
+    def test_batch_matches_dataset_tokens_val(self, fixtures):
+        """Vectorised batch path == per-item dataset path (deterministic val)."""
+        dm = self._dm(fixtures)
+        batch = next(iter(dm.val_batches()))
+        ds = dm.dataset_val
+        T = batch["p1"].shape[1]
+        for j in range(min(4, len(ds))):
+            p1, p2, omid_pid, omid_id, label = ds.interactions[j]
+            expect = ds.encode(ds.sequences[p1])[:T]
+            np.testing.assert_array_equal(batch["p1"][j], expect.astype(np.int32))
+            assert batch["label"][j] == int(label)
+
+    def test_prefetch_to_device(self, fixtures):
+        dm = self._dm(fixtures)
+        out = list(prefetch_to_device(dm.val_batches(), size=2))
+        assert len(out) == 1
+        import jax
+
+        assert isinstance(out[0]["p1"], jax.Array)
+
+
+class TestLegacyDatasets:
+    def test_oma_triplet_csv(self, fixtures, tmp_path):
+        import csv as csvmod
+
+        rng = np.random.default_rng(0)
+        prots = [f"Q{i}" for i in range(10)]
+        seqs = {
+            p: "".join(rng.choice(list("ARNDCQEGHILKMFPSTWYV"), size=20)) for p in prots
+        }
+        with open(tmp_path / "seqs.csv", "w", newline="") as f:
+            w = csvmod.writer(f)
+            w.writerow(["upkb_ac", "sequence"])
+            for p, s in seqs.items():
+                w.writerow([p, s])
+        with open(tmp_path / "trip.csv", "w", newline="") as f:
+            w = csvmod.writer(f)
+            w.writerow(["anchor", "positive", "negative"])
+            for _ in range(20):
+                a, p, n = rng.choice(prots, size=3, replace=False)
+                w.writerow([a, p, n])
+        dm = OmaTripletDataModule(
+            batch_size=4,
+            triplets_path=tmp_path / "trip.csv",
+            sequences_path=tmp_path / "seqs.csv",
+            model_file=fixtures / "tiny_spm.model",
+            trunc_len=32,
+        )
+        dm.setup()
+        assert len(dm.dataset_train) == 16
+        assert len(dm.dataset_val) == 2
+        assert len(dm.dataset_test) == 2
+        b = next(iter(dm.train_batches()))
+        assert b["anchor"].shape == (4, 32)
+
+    def test_rapppid_pairs(self, fixtures):
+        dm = RapppidDataModule2(
+            batch_size=8,
+            dataset_path=fixtures / "tiny.h5",
+            c_type=3,
+            trunc_len=32,
+            workers=0,
+            vocab_size=38,
+            model_file=fixtures / "tiny_spm.model",
+            seed=0,
+            sos=False,
+            eos=False,
+        )
+        dm.setup()
+        b = next(iter(dm.train_batches()))
+        assert set(b) == {"p1", "p2", "label"}
+        assert b["p1"].shape == (8, 32)
