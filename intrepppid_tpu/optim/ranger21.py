@@ -1,0 +1,245 @@
+"""Ranger21 optimizer, reimplemented from scratch in optax.
+
+The reference pins ``ranger21==0.1.0`` (Wright & Demeure, "Ranger21: a
+synergistic deep learning optimizer", arXiv:2106.13731) and instantiates it
+with ``lr, weight_decay=1e-2, warmdown_start_pct=0.72`` in two variants:
+``ranger21`` (no warmup/warmdown) and ``ranger21_xx`` (linear warmup +
+linear warmdown) — `intrepppid/e2e/e2e_triplet.py:200-226`.
+
+Components (paper §2, matching the pinned implementation's defaults):
+
+* adaptive gradient clipping (AGC): per-unit clip of ``g`` to
+  ``0.01 * max(unit_norm(p), 1e-3)``,
+* gradient centralization: subtract the mean over all non-output dims of
+  gradients with ndim > 1,
+* positive-negative momentum (PNM): two first-moment EMAs updated on
+  alternating steps with ``beta1^2``; update direction
+  ``((1+γ)·m_cur − γ·m_prev)/sqrt((1+γ)² + γ²)`` with γ = 1,
+* Adam second moment with bias correction and a softplus-smoothed
+  denominator (``softplus(sqrt(v̂) + eps, beta=50)``),
+* stable weight decay: decay scaled by the RMS of the *global* (all
+  parameters pooled) bias-corrected second moment,
+* norm loss: soft constraint pulling each unit's norm toward 1,
+* lookahead (k=5, alpha=0.5),
+* linear warmup (default ``min(ceil(2/(1-beta2)), 0.22·total)`` iterations)
+  and linear warmdown from ``warmdown_start_pct`` of training to
+  ``warmdown_min_lr``.
+
+Exact step-by-step numerical identity with the pinned torch package cannot
+be validated in this environment (the package is not installable here);
+each component is unit-tested against its mathematical definition instead,
+and training parity is held distributionally (SURVEY.md §7 "hard parts").
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, NamedTuple, Optional
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _unit_norm(x: jnp.ndarray) -> jnp.ndarray:
+    """Ranger21's unit-wise norm: whole-tensor for ndim<=1, per-row (dim 0
+    kept) otherwise."""
+    if x.ndim <= 1:
+        return jnp.linalg.norm(x)
+    axes = tuple(range(1, x.ndim))
+    return jnp.sqrt(jnp.sum(x * x, axis=axes, keepdims=True))
+
+
+def adaptive_gradient_clip(grad: jnp.ndarray, param: jnp.ndarray,
+                           clip: float = 1e-2, eps: float = 1e-3) -> jnp.ndarray:
+    p_norm = jnp.maximum(_unit_norm(param), eps)
+    g_norm = _unit_norm(grad)
+    max_norm = p_norm * clip
+    clipped = grad * (max_norm / jnp.maximum(g_norm, 1e-6))
+    return jnp.where(g_norm > max_norm, clipped, grad)
+
+
+def centralize_gradient(grad: jnp.ndarray) -> jnp.ndarray:
+    if grad.ndim <= 1:
+        return grad
+    axes = tuple(range(1, grad.ndim))
+    return grad - jnp.mean(grad, axis=axes, keepdims=True)
+
+
+class Ranger21State(NamedTuple):
+    count: chex.Array
+    grad_ma: Any        # positive-step EMA
+    neg_grad_ma: Any    # negative-step EMA
+    variance_ma: Any
+    slow_params: Any    # lookahead slow weights
+
+
+def ranger21(
+    learning_rate: float,
+    *,
+    num_iterations: int,
+    weight_decay: float = 1e-4,
+    betas=(0.9, 0.999),
+    eps: float = 1e-8,
+    use_warmup: bool = True,
+    num_warmup_iterations: Optional[int] = None,
+    warmdown_active: bool = True,
+    warmdown_start_pct: float = 0.72,
+    warmdown_min_lr: float = 3e-5,
+    use_adaptive_gradient_clipping: bool = True,
+    agc_clipping_value: float = 1e-2,
+    agc_eps: float = 1e-3,
+    using_gc: bool = True,
+    normloss_active: bool = True,
+    normloss_factor: float = 1e-4,
+    use_softplus: bool = True,
+    beta_softplus: float = 50.0,
+    pnm_momentum_factor: float = 1.0,
+    lookahead_active: bool = True,
+    lookahead_mergetime: int = 5,
+    lookahead_blending_alpha: float = 0.5,
+) -> optax.GradientTransformation:
+    """Build the Ranger21 optax transformation.
+
+    ``num_iterations`` = total train steps (steps_per_epoch * epochs), used
+    by the warmup/warmdown schedule and required like the torch package's
+    ``num_batches_per_epoch``/``num_epochs``.
+    """
+    beta1, beta2 = betas
+
+    if use_warmup:
+        if num_warmup_iterations is None:
+            beta_based = math.ceil(2.0 / (1.0 - beta2))
+            pct_based = math.ceil(0.22 * num_iterations)
+            warmup_iters = min(beta_based, pct_based)
+        else:
+            warmup_iters = num_warmup_iterations
+        warmup_iters = max(warmup_iters, 1)
+    else:
+        warmup_iters = 0
+
+    warmdown_start = int(warmdown_start_pct * num_iterations)
+
+    def lr_at(step: jnp.ndarray) -> jnp.ndarray:
+        """step is 1-based."""
+        lr = jnp.asarray(learning_rate, jnp.float32)
+        if use_warmup and warmup_iters > 0:
+            lr = lr * jnp.minimum(1.0, step / warmup_iters)
+        if warmdown_active and warmdown_start < num_iterations:
+            total_down = num_iterations - warmdown_start
+            frac = jnp.clip((step - warmdown_start) / total_down, 0.0, 1.0)
+            down_lr = learning_rate - frac * (learning_rate - warmdown_min_lr)
+            lr = jnp.where(step > warmdown_start, jnp.minimum(lr, down_lr), lr)
+        return lr
+
+    def init_fn(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return Ranger21State(
+            count=jnp.zeros([], jnp.int32),
+            grad_ma=zeros,
+            neg_grad_ma=jax.tree_util.tree_map(jnp.zeros_like, params),
+            variance_ma=jax.tree_util.tree_map(jnp.zeros_like, params),
+            slow_params=params if lookahead_active else None,
+        )
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("ranger21 requires params")
+        step = state.count + 1
+        stepf = step.astype(jnp.float32)
+        is_odd = (step % 2) == 1
+
+        grads = updates
+        if use_adaptive_gradient_clipping:
+            grads = jax.tree_util.tree_map(
+                lambda g, p: adaptive_gradient_clip(g, p, agc_clipping_value, agc_eps),
+                grads, params,
+            )
+        if using_gc:
+            grads = jax.tree_util.tree_map(centralize_gradient, grads)
+
+        # PNM: on odd steps update grad_ma, on even steps update neg_grad_ma,
+        # each with beta1^2 against its value from two steps ago.
+        b1sq = beta1 * beta1
+
+        def upd_ma(ma, g):
+            return b1sq * ma + (1.0 - b1sq) * g
+
+        new_grad_ma = jax.tree_util.tree_map(
+            lambda ma, g: jnp.where(is_odd, upd_ma(ma, g), ma), state.grad_ma, grads
+        )
+        new_neg_ma = jax.tree_util.tree_map(
+            lambda ma, g: jnp.where(is_odd, ma, upd_ma(ma, g)), state.neg_grad_ma, grads
+        )
+        new_var = jax.tree_util.tree_map(
+            lambda v, g: beta2 * v + (1.0 - beta2) * g * g, state.variance_ma, grads
+        )
+
+        bias_c1 = 1.0 - beta1 ** stepf
+        bias_c2 = 1.0 - beta2 ** stepf
+
+        # stable weight decay: RMS of pooled bias-corrected second moment
+        var_sum = sum(
+            jnp.sum(v) for v in jax.tree_util.tree_leaves(new_var)
+        )
+        n_elems = sum(v.size for v in jax.tree_util.tree_leaves(new_var))
+        variance_normalized = jnp.sqrt(var_sum / bias_c2 / n_elems)
+        variance_normalized = jnp.maximum(variance_normalized, 1e-12)
+
+        lr = lr_at(stepf)
+        noise_norm = math.sqrt((1.0 + pnm_momentum_factor) ** 2 + pnm_momentum_factor**2)
+
+        def param_update(p, g_ma, n_ma, v):
+            p32 = p.astype(jnp.float32)
+            new_p = p32
+            if weight_decay > 0.0:
+                new_p = new_p * (1.0 - weight_decay * lr / variance_normalized)
+            if normloss_active:
+                unorm = jnp.maximum(_unit_norm(new_p), 1e-12)
+                correction = 2.0 * normloss_factor * lr * (unorm - 1.0) / unorm
+                new_p = new_p * (1.0 - correction)
+            # current/previous EMA depending on parity
+            m_cur = jnp.where(is_odd, g_ma, n_ma)
+            m_prev = jnp.where(is_odd, n_ma, g_ma)
+            pn_momentum = (
+                (1.0 + pnm_momentum_factor) * m_cur - pnm_momentum_factor * m_prev
+            ) / noise_norm
+            denom = jnp.sqrt(v / bias_c2) + eps
+            if use_softplus:
+                denom = jax.nn.softplus(beta_softplus * denom) / beta_softplus
+            step_size = lr / bias_c1
+            new_p = new_p - step_size * pn_momentum / denom
+            return new_p
+
+        new_params = jax.tree_util.tree_map(
+            param_update, params, new_grad_ma, new_neg_ma, new_var
+        )
+
+        if lookahead_active:
+            sync = (step % lookahead_mergetime) == 0
+            merged = jax.tree_util.tree_map(
+                lambda s, f: s + lookahead_blending_alpha * (f - s),
+                state.slow_params, new_params,
+            )
+            new_slow = jax.tree_util.tree_map(
+                lambda s, m: jnp.where(sync, m, s), state.slow_params, merged
+            )
+            new_params = jax.tree_util.tree_map(
+                lambda f, m: jnp.where(sync, m, f), new_params, merged
+            )
+        else:
+            new_slow = None
+
+        deltas = jax.tree_util.tree_map(
+            lambda np_, p: (np_ - p.astype(jnp.float32)).astype(p.dtype),
+            new_params, params,
+        )
+        return deltas, Ranger21State(
+            count=step,
+            grad_ma=new_grad_ma,
+            neg_grad_ma=new_neg_ma,
+            variance_ma=new_var,
+            slow_params=new_slow,
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)

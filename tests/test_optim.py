@@ -1,0 +1,251 @@
+"""Optimizer tests: Ranger21 component math, schedule parity vs torch,
+factory variants, SWA semantics."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+import torch
+
+from intrepppid_tpu.optim import (
+    OPTIMIZER_TYPES,
+    SWAConfig,
+    SWAState,
+    adaptive_gradient_clip,
+    centralize_gradient,
+    cosine_warm_restarts,
+    make_optimizer,
+    onecycle,
+    ranger21,
+)
+
+
+class TestAGC:
+    def test_no_clip_when_small(self):
+        p = jnp.ones((4, 8))
+        g = jnp.full((4, 8), 1e-4)
+        out = adaptive_gradient_clip(g, p)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(g))
+
+    def test_clips_large_gradient_rowwise(self):
+        p = jnp.ones((2, 4))          # row norm = 2
+        g = jnp.array([[10.0, 0, 0, 0], [1e-4, 0, 0, 0]])
+        out = np.asarray(adaptive_gradient_clip(g, p, clip=1e-2))
+        # row 0: g_norm 10 > max_norm 0.02 -> scaled to norm 0.02
+        assert abs(np.linalg.norm(out[0]) - 0.02) < 1e-6
+        # row 1 untouched
+        np.testing.assert_allclose(out[1], np.asarray(g)[1])
+
+    def test_1d_whole_tensor(self):
+        p = jnp.zeros((5,))  # norm 0 -> clamped to eps 1e-3
+        g = jnp.ones((5,))
+        out = np.asarray(adaptive_gradient_clip(g, p, clip=1e-2, eps=1e-3))
+        assert abs(np.linalg.norm(out) - 1e-5) < 1e-9
+
+
+class TestGC:
+    def test_centralizes_2d(self):
+        g = jnp.asarray(np.random.default_rng(0).normal(size=(4, 6)).astype(np.float32))
+        out = np.asarray(centralize_gradient(g))
+        np.testing.assert_allclose(out.mean(axis=1), 0.0, atol=1e-6)
+
+    def test_1d_untouched(self):
+        g = jnp.array([1.0, 2.0, 3.0])
+        np.testing.assert_allclose(np.asarray(centralize_gradient(g)), np.asarray(g))
+
+
+class TestRanger21:
+    def _run(self, opt, params, grads, n=6):
+        state = opt.init(params)
+        for _ in range(n):
+            updates, state = opt.update(grads, state, params)
+            params = optax.apply_updates(params, updates)
+        return params, state
+
+    def test_decreases_quadratic_loss(self):
+        """Ranger21 optimizes a quadratic ||W - A||^2 from a realistic init.
+
+        (A must have zero row means: gradient centralization projects row
+        means out of the update, so they are unreachable — true of the torch
+        implementation as well. AGC also stalls exactly-zero inits, which is
+        why the init is random.)
+        """
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        target = jax.random.normal(k1, (8, 8))
+        target = target - target.mean(axis=1, keepdims=True)
+        w0 = jax.random.normal(k2, (8, 8))
+        params = {"w": w0 - w0.mean(axis=1, keepdims=True)}
+        opt = ranger21(1e-1, num_iterations=200, weight_decay=0.0,
+                       use_warmup=False, warmdown_active=False)
+        state = opt.init(params)
+
+        def loss_fn(p):
+            return jnp.sum((p["w"] - target) ** 2)
+
+        losses = []
+        for _ in range(200):
+            g = jax.grad(loss_fn)(params)
+            updates, state = opt.update(g, state, params)
+            params = optax.apply_updates(params, updates)
+            losses.append(float(loss_fn(params)))
+        assert losses[-1] < 0.05 * losses[0]
+
+    def test_warmup_warmdown_schedule(self):
+        lr = 1e-2
+        total = 1000
+        opt = ranger21(lr, num_iterations=total, weight_decay=0.0,
+                       use_warmup=True, warmdown_active=True,
+                       warmdown_start_pct=0.72, warmdown_min_lr=3e-5,
+                       lookahead_active=False, normloss_active=False,
+                       use_adaptive_gradient_clipping=False, using_gc=False)
+        # warmup iters = min(ceil(2/(1-0.999)), ceil(0.22*1000)) = min(2000,220)=220
+        params = {"w": jnp.zeros((4,))}
+        g = {"w": jnp.ones((4,))}
+        state = opt.init(params)
+        # measure effective step size at selected steps via delta magnitude
+        deltas = {}
+        p = params
+        for i in range(1, total + 1):
+            updates, state = opt.update(g, state, p)
+            if i in (1, 220, 500, 1000):
+                deltas[i] = float(jnp.abs(updates["w"]).max())
+        # warmup: step1 tiny vs step 220 (with constant grads denom saturates)
+        assert deltas[1] < deltas[220] * 0.05
+        # warmdown: final step much smaller than mid-training
+        assert deltas[1000] < deltas[500] * 0.1
+
+    def test_pnm_alternates_buffers(self):
+        opt = ranger21(1e-3, num_iterations=10, weight_decay=0.0,
+                       use_warmup=False, warmdown_active=False,
+                       lookahead_active=False)
+        params = {"w": jnp.zeros((3,))}
+        g = {"w": jnp.ones((3,))}
+        state = opt.init(params)
+        _, s1 = opt.update(g, state, params)
+        assert float(jnp.abs(s1.grad_ma["w"]).sum()) > 0      # odd step
+        assert float(jnp.abs(s1.neg_grad_ma["w"]).sum()) == 0
+        _, s2 = opt.update(g, s1, params)
+        assert float(jnp.abs(s2.neg_grad_ma["w"]).sum()) > 0  # even step
+
+    def test_lookahead_sync(self):
+        opt = ranger21(1e-2, num_iterations=100, weight_decay=0.0,
+                       use_warmup=False, warmdown_active=False,
+                       lookahead_active=True, lookahead_mergetime=5)
+        params = {"w": jnp.ones((3,))}
+        g = {"w": jnp.full((3,), 0.1)}
+        state = opt.init(params)
+        p = params
+        history = []
+        for i in range(1, 11):
+            updates, state = opt.update(g, state, p)
+            p = optax.apply_updates(p, updates)
+            history.append(np.asarray(p["w"]).copy())
+        # at sync steps (5, 10) fast == slow
+        np.testing.assert_allclose(
+            np.asarray(state.slow_params["w"]), history[-1], atol=1e-7
+        )
+
+    def test_stable_decay_shrinks_params_without_grads_direction(self):
+        opt = ranger21(1e-2, num_iterations=100, weight_decay=1e-2,
+                       use_warmup=False, warmdown_active=False,
+                       lookahead_active=False, normloss_active=False)
+        params = {"w": jnp.full((4, 4), 5.0)}
+        g = {"w": jnp.zeros((4, 4)) + 1e-8}
+        state = opt.init(params)
+        updates, state = opt.update(g, state, params)
+        new_p = optax.apply_updates(params, updates)
+        assert float(jnp.mean(new_p["w"])) < 5.0
+
+    def test_jittable(self):
+        opt = ranger21(1e-2, num_iterations=10)
+        params = {"w": jnp.ones((4, 4))}
+        state = opt.init(params)
+
+        @jax.jit
+        def step(params, state):
+            g = jax.tree_util.tree_map(jnp.ones_like, params)
+            updates, state = opt.update(g, state, params)
+            return optax.apply_updates(params, updates), state
+
+        p2, s2 = step(params, state)
+        assert np.all(np.isfinite(np.asarray(p2["w"])))
+
+
+class TestSchedules:
+    def test_onecycle_matches_torch(self):
+        lr = 1e-2
+        total = 100
+        sched = onecycle(lr, total)
+        model = torch.nn.Linear(2, 2)
+        opt = torch.optim.AdamW(model.parameters(), lr=lr)
+        tsched = torch.optim.lr_scheduler.OneCycleLR(
+            opt, lr, total_steps=total
+        )
+        torch_lrs = []
+        for _ in range(total):
+            torch_lrs.append(opt.param_groups[0]["lr"])
+            opt.step()
+            tsched.step()
+        ours = [float(sched(i)) for i in range(total)]
+        np.testing.assert_allclose(ours, torch_lrs, rtol=1e-5, atol=1e-9)
+
+    def test_cosine_warm_restarts_matches_torch(self):
+        lr, spe = 1e-2, 5
+        sched = cosine_warm_restarts(lr, steps_per_epoch=spe)
+        model = torch.nn.Linear(2, 2)
+        opt = torch.optim.AdamW(model.parameters(), lr=lr)
+        tsched = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(
+            opt, T_0=10, T_mult=2, eta_min=1e-6
+        )
+        for epoch in range(40):
+            expect = opt.param_groups[0]["lr"]
+            got = float(sched(epoch * spe))
+            assert abs(got - expect) < 1e-7, (epoch, got, expect)
+            tsched.step()
+
+
+class TestFactory:
+    @pytest.mark.parametrize("name", OPTIMIZER_TYPES)
+    def test_all_variants_step(self, name):
+        opt = make_optimizer(name, 1e-3, steps_per_epoch=10, num_epochs=2)
+        params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+        state = opt.init(params)
+        g = jax.tree_util.tree_map(lambda p: jnp.ones_like(p) * 0.1, params)
+        updates, state = opt.update(g, state, params)
+        p2 = optax.apply_updates(params, updates)
+        assert np.all(np.isfinite(np.asarray(p2["w"])))
+        assert float(jnp.abs(p2["w"] - params["w"]).sum()) > 0
+
+    def test_unknown_raises(self):
+        with pytest.raises(ValueError, match="optimizer type"):
+            make_optimizer("sgd", 1e-3, 10, 2)
+
+
+class TestSWA:
+    def test_average_and_final(self):
+        swa = SWAState(SWAConfig(), num_epochs=10)  # start epoch 8
+        params = {"w": jnp.zeros((2,))}
+        for epoch in range(10):
+            params = {"w": jnp.full((2,), float(epoch))}
+            swa.update(epoch, params)
+        assert swa.n_averaged == 2  # epochs 8, 9
+        final = swa.final_params(params)
+        np.testing.assert_allclose(np.asarray(final["w"]), [8.5, 8.5])
+
+    def test_inactive_passthrough(self):
+        swa = SWAState(SWAConfig(), num_epochs=10)
+        params = {"w": jnp.ones((2,))}
+        swa.update(0, params)
+        assert swa.n_averaged == 0
+        np.testing.assert_allclose(
+            np.asarray(swa.final_params(params)["w"]), [1.0, 1.0]
+        )
+
+    def test_lr_anneal(self):
+        swa = SWAState(SWAConfig(swa_lr=1e-3), num_epochs=10)
+        base = 1e-2
+        assert swa.lr_scale(0, base) == 1.0
+        late = swa.lr_scale(swa.start_epoch + 100, base)
+        assert abs(late * base - 1e-3) < 1e-9
