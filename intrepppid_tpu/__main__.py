@@ -1,0 +1,18 @@
+"""CLI entry point (`intrepppid/__main__.py:22-37` equivalent):
+
+    python -m intrepppid_tpu train e2e_rnn_triplet --ppi_dataset_path ...
+    python -m intrepppid_tpu infer from_csv --interactions_path ...
+"""
+from __future__ import annotations
+
+
+def main(argv=None):
+    from intrepppid_tpu.cli.parser import dispatch
+    from intrepppid_tpu.cli.train import Train
+    from intrepppid_tpu.cli.infer import Infer
+
+    return dispatch({"train": Train(), "infer": Infer()}, argv)
+
+
+if __name__ == "__main__":
+    main()

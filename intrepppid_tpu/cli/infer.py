@@ -1,0 +1,279 @@
+"""Inference CLI (`intrepppid/cli/infer.py:89-232`).
+
+``infer from_csv``: score a CSV of interaction-id pairs against a FASTA of
+sequences. Feature parity with the reference:
+
+* in-memory or low-memory sequence library; low-memory mode uses LMDB when
+  the ``lmdb`` package is present, else a built-in sqlite3 key-value store
+  (same on-disk workflow, zero extra dependencies),
+* optional live UniProt REST fallback with a 1 s rate limit and a
+  deleted-accession memo (`cli/infer.py:36,58-86`),
+* gzip support for both CSV and FASTA, identical output CSV
+  (``itx_id,probability``).
+
+Improvements over the reference:
+
+* **batched inference** (the reference runs batch-of-1 with an acknowledged
+  TODO, `cli/infer.py:216-217`): rows are grouped into ``--batch_size``
+  batches, length-bucketed, and run through one jitted forward,
+* deterministic tokenisation by default (the reference leaves subword
+  *sampling* on at inference, Appendix A #11 — opt back in with
+  ``--sampling true``),
+* weights can be an orbax checkpoint dir (this framework) or a reference
+  PyTorch ``.ckpt`` (auto-converted).
+"""
+from __future__ import annotations
+
+import csv
+import gzip
+import json
+import sqlite3
+import tempfile
+import time
+from pathlib import Path
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+def stream_fasta(fasta_path) -> Iterator[Tuple[str, str]]:
+    opener = gzip.open if str(fasta_path).endswith(".gz") else open
+    with opener(str(fasta_path), "rt") as f:
+        name, sequence = None, None
+        for line in f:
+            line = line.strip()
+            if line.startswith(">"):
+                if sequence:
+                    yield name, sequence
+                name = line[1:]
+                sequence = ""
+            elif sequence is not None:
+                sequence += line
+        if sequence:
+            yield name, sequence
+
+
+class _UniprotFetcher:
+    def __init__(self):
+        self.deleted = set()
+
+    def get(self, uniprot_ac: str) -> Optional[str]:
+        if uniprot_ac in self.deleted:
+            print(
+                f'Failed to get sequence for "{uniprot_ac}" from UniProt '
+                "(it was likely deleted)"
+            )
+            return None
+        import requests
+
+        time.sleep(1)
+        r = requests.get(f"https://rest.uniprot.org/uniprotkb/{uniprot_ac}.fasta")
+        if r.status_code == 200:
+            seq = "".join(
+                line.strip() for line in r.text.split("\n")[1:]
+            )
+            if not seq:
+                self.deleted.add(uniprot_ac)
+                return None
+            print(f'Found sequence for "{uniprot_ac}" via UniProt')
+            return seq
+        print(f'Failed to get sequence for "{uniprot_ac}" from UniProt')
+        return None
+
+
+class _KVStore:
+    """Key-value token cache: LMDB when available, sqlite3 otherwise."""
+
+    def __init__(self, db_path):
+        try:
+            import lmdb
+
+            self._env = lmdb.open(str(db_path))
+            self._env.set_mapsize(1024**4)
+            self._sqlite = None
+        except ImportError:
+            Path(db_path).mkdir(parents=True, exist_ok=True)
+            self._env = None
+            self._sqlite = sqlite3.connect(str(Path(db_path) / "seqs.sqlite3"))
+            self._sqlite.execute(
+                "CREATE TABLE IF NOT EXISTS kv (k TEXT PRIMARY KEY, v TEXT)"
+            )
+
+    def put(self, key: str, value: str) -> None:
+        if self._env is not None:
+            with self._env.begin(write=True) as txn:
+                txn.put(key.encode(), value.encode())
+        else:
+            self._sqlite.execute(
+                "INSERT OR REPLACE INTO kv VALUES (?, ?)", (key, value)
+            )
+            self._sqlite.commit()
+
+    def get(self, key: str) -> Optional[str]:
+        if self._env is not None:
+            with self._env.begin() as txn:
+                v = txn.get(key.encode())
+            return v.decode() if v is not None else None
+        row = self._sqlite.execute(
+            "SELECT v FROM kv WHERE k = ?", (key,)
+        ).fetchone()
+        return row[0] if row else None
+
+
+def _load_params(weights_path, net):
+    """Orbax checkpoint dir, or reference torch .ckpt (auto-converted)."""
+    weights_path = Path(weights_path)
+    if weights_path.is_dir():
+        from intrepppid_tpu.train.checkpoint import load_params_from_checkpoint
+
+        return load_params_from_checkpoint(weights_path)
+    from intrepppid_tpu.utils.torch_convert import load_torch_checkpoint
+
+    return load_torch_checkpoint(weights_path)
+
+
+class Infer:
+    @staticmethod
+    def from_csv(
+        interactions_path: Path,
+        sequences_path: Path,
+        weights_path: Path,
+        spm_path: Path,
+        out_path: Path,
+        trunc_len: int = 1500,
+        low_memory: bool = False,
+        db_path: Optional[Path] = None,
+        dont_populate_db: bool = False,
+        get_from_uniprot: bool = False,
+        batch_size: int = 64,
+        sampling: bool = False,
+        vocab_size: int = 250,
+        embedding_size: int = 64,
+        rnn_num_layers: int = 2,
+        bi_reduce: str = "last",
+    ):
+        """Score protein pairs from a CSV (columns itx_id,id_a,id_b) using a
+        FASTA sequence library; writes itx_id,probability CSV."""
+        import jax
+        import jax.numpy as jnp
+
+        from intrepppid_tpu.data.ppi_oma import IntrepppidDataset
+        from intrepppid_tpu.data.tokenizer import SentencePieceTokenizer
+        from intrepppid_tpu.models.factory import intrepppid_network
+
+        spp = SentencePieceTokenizer(spm_path)
+
+        def encode(seq: str) -> list:
+            return IntrepppidDataset.static_encode(
+                trunc_len, spp, seq, sampling=sampling
+            ).tolist()
+
+        uniprot = _UniprotFetcher() if get_from_uniprot else None
+
+        # ------------------------------------------------ sequence library
+        if low_memory:
+            if db_path is None:
+                db_path = tempfile.mkdtemp(prefix="intrepppid_")
+            store = _KVStore(db_path)
+            if not dont_populate_db:
+                print("Building sequence db...")
+                for name, sequence in stream_fasta(sequences_path):
+                    store.put(name, json.dumps(encode(sequence)))
+
+            def get_embed(name: str) -> Optional[np.ndarray]:
+                v = store.get(name)
+                if v is not None:
+                    return np.array(json.loads(v), np.int32)
+                if uniprot is not None:
+                    seq = uniprot.get(name)
+                    if seq is not None:
+                        toks = encode(seq)
+                        store.put(name, json.dumps(toks))
+                        return np.array(toks, np.int32)
+                return None
+
+        else:
+            embeddings = {}
+            for name, sequence in stream_fasta(sequences_path):
+                embeddings[name] = np.array(encode(sequence), np.int32)
+
+            def get_embed(name: str) -> Optional[np.ndarray]:
+                if name in embeddings:
+                    return embeddings[name]
+                if uniprot is not None:
+                    seq = uniprot.get(name)
+                    if seq is not None:
+                        embeddings[name] = np.array(encode(seq), np.int32)
+                        return embeddings[name]
+                return None
+
+        # ---------------------------------------------------------- model
+        # The reference always builds the net with use_projection=True at
+        # inference (`cli/infer.py:170`, Appendix A #10).
+        net = intrepppid_network(
+            0,
+            vocab_size=vocab_size,
+            embedding_size=embedding_size,
+            rnn_num_layers=rnn_num_layers,
+            bi_reduce=bi_reduce,
+            use_projection=True,
+        )
+        params = _load_params(weights_path, net)
+
+        forward = jax.jit(lambda xa, xb: net.forward(params, xa, xb, train=False))
+
+        # ------------------------------------------------------ batched IO
+        opener = gzip.open if str(interactions_path).endswith(".gz") else open
+        mode = "rt" if str(interactions_path).endswith(".gz") else "r"
+
+        from intrepppid_tpu.data.ppi_oma import default_buckets
+
+        buckets = default_buckets(trunc_len)
+
+        def flush(rows_buf, writer):
+            if not rows_buf:
+                return
+            maxlen = 1
+            for _, ea, eb in rows_buf:
+                maxlen = max(maxlen, int(np.sum(ea != 0)), int(np.sum(eb != 0)))
+            T = next((b for b in buckets if maxlen <= b), trunc_len)
+            xa = np.stack([ea[:T] for _, ea, _ in rows_buf])
+            xb = np.stack([eb[:T] for _, _, eb in rows_buf])
+            logits = forward(jnp.asarray(xa), jnp.asarray(xb))
+            probs = np.asarray(jax.nn.sigmoid(logits)).reshape(-1)
+            for (itx_id, _, _), p in zip(rows_buf, probs):
+                writer.writerow({"itx_id": itx_id, "probability": float(p)})
+            rows_buf.clear()
+
+        n_done = 0
+        with open(out_path, "w", newline="") as f_out:
+            writer = csv.DictWriter(f_out, fieldnames=["itx_id", "probability"])
+            with opener(str(interactions_path), mode) as f_in:
+                reader = csv.DictReader(
+                    f_in, fieldnames=["itx_id", "id_a", "id_b"]
+                )
+                buf = []
+                for row in reader:
+                    embed_a = get_embed(row["id_a"])
+                    embed_b = get_embed(row["id_b"])
+                    if embed_a is None or embed_b is None:
+                        missing = [
+                            rid
+                            for rid, e in (
+                                (row["id_a"], embed_a),
+                                (row["id_b"], embed_b),
+                            )
+                            if e is None
+                        ]
+                        print(
+                            f"Can't compute pair id: {row['itx_id']} "
+                            f"(missing sequences: {', '.join(missing)})"
+                        )
+                        continue
+                    buf.append((row["itx_id"], embed_a, embed_b))
+                    n_done += 1
+                    if len(buf) >= batch_size:
+                        flush(buf, writer)
+                flush(buf, writer)
+        print(f"Scored {n_done} pairs -> {out_path}")
+        return n_done

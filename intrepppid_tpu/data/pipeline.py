@@ -33,16 +33,19 @@ def prefetch_to_device(
     q: queue.Queue = queue.Queue(maxsize=size)
     err: list = []
 
+    def put(batch):
+        if sharding is not None:
+            return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        return jax.device_put(batch)
+
     def produce():
         try:
-            for batch in batches:
-                if sharding is not None:
-                    device_batch = {
-                        k: jax.device_put(v, sharding) for k, v in batch.items()
-                    }
+            for item in batches:
+                if isinstance(item, tuple):
+                    # (batch, aux) pairs: transfer the batch, pass aux through
+                    q.put((put(item[0]),) + item[1:])
                 else:
-                    device_batch = jax.device_put(batch)
-                q.put(device_batch)
+                    q.put(put(item))
         except Exception as e:  # propagate into the consumer
             err.append(e)
         finally:

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import optax
 
-from intrepppid_tpu.optim.ranger21 import ranger21
+from intrepppid_tpu.optim.ranger21 import ranger21, ranger21_lr_schedule
 from intrepppid_tpu.optim.schedules import cosine_warm_restarts, onecycle
 
 OPTIMIZER_TYPES = ("ranger21", "ranger21_xx", "adamw", "adamw_1cycle", "adamw_cosine")
@@ -58,3 +58,25 @@ def make_optimizer(
         'Expected one of "ranger21", "adamw", "ranger21_xx", "adamw_1cycle", '
         f'or "adamw_cosine" as the optimizer type, got {optimizer_type!r}.'
     )
+
+
+def get_lr_schedule(
+    optimizer_type: str,
+    lr: float,
+    steps_per_epoch: int,
+    num_epochs: int,
+):
+    """The LR-vs-step curve for the LearningRateMonitor equivalent
+    (`intrepppid/e2e/e2e_triplet.py:389`). Returns a callable step -> lr."""
+    total_steps = max(steps_per_epoch * num_epochs, 1)
+    if optimizer_type == "ranger21":
+        return lambda step: lr
+    if optimizer_type == "ranger21_xx":
+        return ranger21_lr_schedule(lr, total_steps, True, True)
+    if optimizer_type == "adamw":
+        return lambda step: lr
+    if optimizer_type == "adamw_1cycle":
+        return onecycle(lr, total_steps)
+    if optimizer_type == "adamw_cosine":
+        return cosine_warm_restarts(lr, steps_per_epoch)
+    raise ValueError(optimizer_type)

@@ -66,6 +66,44 @@ def centralize_gradient(grad: jnp.ndarray) -> jnp.ndarray:
     return grad - jnp.mean(grad, axis=axes, keepdims=True)
 
 
+def ranger21_lr_schedule(
+    learning_rate: float,
+    num_iterations: int,
+    use_warmup: bool,
+    warmdown_active: bool,
+    beta2: float = 0.999,
+    num_warmup_iterations: Optional[int] = None,
+    warmdown_start_pct: float = 0.72,
+    warmdown_min_lr: float = 3e-5,
+):
+    """The warmup/warmdown LR curve as a standalone schedule (1-based step)."""
+    if use_warmup:
+        if num_warmup_iterations is None:
+            beta_based = math.ceil(2.0 / (1.0 - beta2))
+            pct_based = math.ceil(0.22 * num_iterations)
+            warmup_iters = min(beta_based, pct_based)
+        else:
+            warmup_iters = num_warmup_iterations
+        warmup_iters = max(warmup_iters, 1)
+    else:
+        warmup_iters = 0
+    warmdown_start = int(warmdown_start_pct * num_iterations)
+
+    def lr_at(step):
+        step = jnp.asarray(step, jnp.float32)
+        lr = jnp.asarray(learning_rate, jnp.float32)
+        if use_warmup and warmup_iters > 0:
+            lr = lr * jnp.minimum(1.0, step / warmup_iters)
+        if warmdown_active and warmdown_start < num_iterations:
+            total_down = num_iterations - warmdown_start
+            frac = jnp.clip((step - warmdown_start) / total_down, 0.0, 1.0)
+            down_lr = learning_rate - frac * (learning_rate - warmdown_min_lr)
+            lr = jnp.where(step > warmdown_start, jnp.minimum(lr, down_lr), lr)
+        return lr
+
+    return lr_at
+
+
 class Ranger21State(NamedTuple):
     count: chex.Array
     grad_ma: Any        # positive-step EMA
@@ -107,39 +145,32 @@ def ranger21(
     """
     beta1, beta2 = betas
 
-    if use_warmup:
-        if num_warmup_iterations is None:
-            beta_based = math.ceil(2.0 / (1.0 - beta2))
-            pct_based = math.ceil(0.22 * num_iterations)
-            warmup_iters = min(beta_based, pct_based)
-        else:
-            warmup_iters = num_warmup_iterations
-        warmup_iters = max(warmup_iters, 1)
-    else:
-        warmup_iters = 0
-
-    warmdown_start = int(warmdown_start_pct * num_iterations)
-
-    def lr_at(step: jnp.ndarray) -> jnp.ndarray:
-        """step is 1-based."""
-        lr = jnp.asarray(learning_rate, jnp.float32)
-        if use_warmup and warmup_iters > 0:
-            lr = lr * jnp.minimum(1.0, step / warmup_iters)
-        if warmdown_active and warmdown_start < num_iterations:
-            total_down = num_iterations - warmdown_start
-            frac = jnp.clip((step - warmdown_start) / total_down, 0.0, 1.0)
-            down_lr = learning_rate - frac * (learning_rate - warmdown_min_lr)
-            lr = jnp.where(step > warmdown_start, jnp.minimum(lr, down_lr), lr)
-        return lr
+    lr_at = ranger21_lr_schedule(
+        learning_rate,
+        num_iterations,
+        use_warmup,
+        warmdown_active,
+        beta2=beta2,
+        num_warmup_iterations=num_warmup_iterations,
+        warmdown_start_pct=warmdown_start_pct,
+        warmdown_min_lr=warmdown_min_lr,
+    )
 
     def init_fn(params):
         zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        # slow weights must be a distinct buffer (not an alias of params) so
+        # both can be donated to the jitted train step
+        slow = (
+            jax.tree_util.tree_map(lambda p: jnp.array(p, copy=True), params)
+            if lookahead_active
+            else None
+        )
         return Ranger21State(
             count=jnp.zeros([], jnp.int32),
             grad_ma=zeros,
             neg_grad_ma=jax.tree_util.tree_map(jnp.zeros_like, params),
             variance_ma=jax.tree_util.tree_map(jnp.zeros_like, params),
-            slow_params=params if lookahead_active else None,
+            slow_params=slow,
         )
 
     def update_fn(updates, state, params=None):

@@ -1,0 +1,311 @@
+"""Training loop: one jitted quintuplet step, eval, checkpoints, SWA, logs.
+
+TPU-native replacement for the reference's ``pl.Trainer`` usage
+(`intrepppid/e2e/e2e_triplet.py:381-431`):
+
+* one jitted train step computing loss, grads, optimizer update and the
+  batch metrics on device (length-bucketed batch shapes → a handful of
+  cached compiles),
+* epoch aggregation = batch-size-weighted mean of batch-level metrics,
+  matching Lightning's ``on_epoch=True`` reduction of torchmetrics values
+  (SURVEY.md Appendix A #14),
+* per-epoch orbax checkpoints monitoring ``val_loss``; best-checkpoint
+  test; resume from a checkpoint path,
+* StochasticWeightAveraging from 80% of epochs (`e2e_triplet.py:390`),
+* DictLogger (-> metrics.json) + TensorBoard + per-step LR monitor
+  (`e2e_triplet.py:387-389`), logging train step losses every
+  ``log_every_n_steps`` (default 2, `e2e_triplet.py:399`),
+* data parallelism over a `jax.sharding.Mesh` ``data`` axis: batches are
+  sharded on the batch dim, params replicated; XLA inserts the gradient
+  all-reduce over ICI.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from intrepppid_tpu.data.pipeline import prefetch_to_device
+from intrepppid_tpu.models.factory import IntrepppidNetwork
+from intrepppid_tpu.optim import SWAConfig, SWAState, make_optimizer
+from intrepppid_tpu.optim.factory import get_lr_schedule
+from intrepppid_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    pad_batch_to_multiple,
+    replicated_sharding,
+)
+from intrepppid_tpu.train.checkpoint import CheckpointManager
+from intrepppid_tpu.utils.dictlogger import DictLogger
+
+METRIC_KEYS = (
+    "loss",
+    "classifier_loss",
+    "triplet_loss",
+    "auroc",
+    "ap",
+    "mcc",
+    "precision",
+    "rec",
+)
+
+
+class EpochAccumulator:
+    """Batch-size-weighted mean of per-batch metric values."""
+
+    def __init__(self):
+        self.sums: Dict[str, float] = {}
+        self.weight = 0.0
+
+    def add(self, aux: Dict[str, Any], batch_size: int) -> None:
+        for k, v in aux.items():
+            self.sums[k] = self.sums.get(k, 0.0) + float(v) * batch_size
+        self.weight += batch_size
+
+    def means(self) -> Dict[str, float]:
+        if self.weight == 0:
+            return {}
+        return {k: s / self.weight for k, s in self.sums.items()}
+
+
+class Trainer:
+    def __init__(
+        self,
+        net: IntrepppidNetwork,
+        chkpt_dir,
+        model_name: str,
+        seed: int = 0,
+        loggers: Optional[list] = None,
+        tb_writer=None,
+        log_every_n_steps: int = 2,
+        swa: Optional[SWAConfig] = SWAConfig(),
+        mesh=None,
+        prefetch: int = 2,
+        use_swa_lr_scale: bool = True,
+    ):
+        self.net = net
+        self.seed = seed
+        self.loggers = loggers if loggers is not None else [DictLogger()]
+        self.tb_writer = tb_writer
+        self.log_every_n_steps = log_every_n_steps
+        self.mesh = mesh if mesh is not None else make_mesh(n_data=1)
+        self.n_devices = int(np.prod(self.mesh.devices.shape))
+        self.checkpoints = CheckpointManager(chkpt_dir, model_name)
+        self.swa = SWAState(swa, net.num_epochs) if swa is not None else None
+        self.use_swa_lr_scale = use_swa_lr_scale
+        self.prefetch = prefetch
+
+        self.optimizer = make_optimizer(
+            net.optimizer_type, net.lr, net.steps_per_epoch, net.num_epochs
+        )
+        self.lr_schedule = get_lr_schedule(
+            net.optimizer_type, net.lr, net.steps_per_epoch, net.num_epochs
+        )
+
+        self.global_step = 0
+        self.start_epoch = 0
+        self.params = None
+        self.opt_state = None
+        self._base_key = jax.random.PRNGKey(seed)
+
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    # ------------------------------------------------------------ jit steps
+    def _build_train_step(self):
+        net = self.net
+        optimizer = self.optimizer
+        rep = replicated_sharding(self.mesh)
+        data = batch_sharding(self.mesh)
+
+        def train_step(params, opt_state, batch, key, lr_scale):
+            def loss_fn(p):
+                loss, aux = net.step(p, batch, key, train=True)
+                return loss, aux
+
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, aux
+
+        return jax.jit(
+            train_step,
+            in_shardings=(rep, rep, data, rep, rep),
+            out_shardings=(rep, rep, rep),
+            donate_argnums=(0, 1),
+        )
+
+    def _build_eval_step(self):
+        net = self.net
+        rep = replicated_sharding(self.mesh)
+        data = batch_sharding(self.mesh)
+
+        def eval_step(params, batch, key):
+            _, aux = net.step(params, batch, key, train=False)
+            return aux
+
+        return jax.jit(eval_step, in_shardings=(rep, data, rep), out_shardings=rep)
+
+    # -------------------------------------------------------------- logging
+    def _log(self, metrics: Dict[str, float], step: int) -> None:
+        for logger in self.loggers:
+            logger.log_metrics(metrics, step)
+        if self.tb_writer is not None:
+            for k, v in metrics.items():
+                self.tb_writer.add_scalar(k, v, step)
+
+    # ------------------------------------------------------------ lifecycle
+    def init_state(self) -> None:
+        key = jax.random.PRNGKey(self.seed)
+        self.params = jax.device_put(
+            self.net.init(key), replicated_sharding(self.mesh)
+        )
+        self.opt_state = self.optimizer.init(self.params)
+
+    def resume(self, checkpoint_path) -> None:
+        """Full Lightning-style resume: weights + optimizer + epoch."""
+        if self.params is None:
+            self.init_state()
+        restored = CheckpointManager.restore(checkpoint_path)
+        rep = replicated_sharding(self.mesh)
+        self.params = jax.device_put(
+            jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(self.params),
+                jax.tree_util.tree_leaves(restored["params"]),
+            ),
+            rep,
+        )
+        self.opt_state = jax.device_put(
+            jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(self.opt_state),
+                jax.tree_util.tree_leaves(restored["opt_state"]),
+            ),
+            rep,
+        )
+        self.global_step = int(restored["global_step"])
+        self.start_epoch = int(restored["epoch"]) + 1
+        if self.swa is not None and restored.get("swa_n", 0):
+            self.swa.n_averaged = int(restored["swa_n"])
+            self.swa.avg_params = restored.get("swa_avg")
+
+    def _save_epoch(self, epoch: int, val_loss: float) -> None:
+        # opt_state stored as a leaf list; resume unflattens into the live
+        # optimizer state structure (orbax round-trips dicts, not NamedTuples)
+        state = {
+            "params": self.params,
+            "opt_state": jax.tree_util.tree_leaves(self.opt_state),
+            "global_step": self.global_step,
+            "epoch": epoch,
+        }
+        if self.swa is not None and self.swa.avg_params is not None:
+            state["swa_avg"] = self.swa.avg_params
+            state["swa_n"] = self.swa.n_averaged
+        self.checkpoints.save(state, epoch, val_loss)
+
+    # -------------------------------------------------------------- running
+    def _run_eval(self, params, batches: Iterator, stage: str, step: int) -> Dict[str, float]:
+        acc = EpochAccumulator()
+        rep_key = jax.random.PRNGKey(0)
+        for batch in batches:
+            batch, true_b = pad_batch_to_multiple(batch, self.n_devices)
+            aux = self._eval_step(params, batch, rep_key)
+            acc.add({k: v for k, v in aux.items()}, true_b)
+        metrics = {f"{stage}_{k}": v for k, v in acc.means().items()}
+        self._log(metrics, step)
+        return metrics
+
+    def fit(self, data_module, checkpoint_path=None) -> Dict[str, float]:
+        if checkpoint_path is not None:
+            self.resume(checkpoint_path)
+        elif self.params is None:
+            self.init_state()
+
+        data_sh = batch_sharding(self.mesh)
+        last_val: Dict[str, float] = {}
+        for epoch in range(self.start_epoch, self.net.num_epochs):
+            lr_scale = 1.0
+            if self.swa is not None and self.use_swa_lr_scale:
+                lr_scale = self.swa.lr_scale(epoch, self.net.lr)
+            t0 = time.perf_counter()
+            acc = EpochAccumulator()
+            n_samples = 0
+
+            def padded(it):
+                for b in it:
+                    yield pad_batch_to_multiple(b, self.n_devices)
+
+            batches = prefetch_to_device(
+                padded(data_module.train_batches(epoch)),
+                size=self.prefetch,
+                sharding=data_sh,
+            )
+            for batch, true_b in batches:
+                key = jax.random.fold_in(self._base_key, self.global_step)
+                self.params, self.opt_state, aux = self._train_step(
+                    self.params, self.opt_state, batch,
+                    key, jnp.float32(lr_scale),
+                )
+                self.global_step += 1
+                acc.add(aux, true_b)
+                n_samples += true_b
+                if self.global_step % self.log_every_n_steps == 0:
+                    self._log(
+                        {
+                            "train_loss_step": float(aux["loss"]),
+                            "train_classifier_loss_step": float(aux["classifier_loss"]),
+                            "train_triplet_loss_step": float(aux["triplet_loss"]),
+                            "lr": float(self.lr_schedule(self.global_step)) * lr_scale,
+                        },
+                        self.global_step,
+                    )
+            epoch_time = time.perf_counter() - t0
+            train_metrics = {f"train_{k}": v for k, v in acc.means().items()}
+            train_metrics["epoch_time_s"] = epoch_time
+            train_metrics["seq_pairs_per_s"] = n_samples / max(epoch_time, 1e-9)
+            self._log(train_metrics, self.global_step)
+
+            last_val = self._run_eval(
+                self.params, data_module.val_batches(), "val", self.global_step
+            )
+
+            if self.swa is not None:
+                self.swa.update(epoch, self.params)
+
+            self._save_epoch(epoch, last_val.get("val_loss", float("nan")))
+
+        # SWA final swap (Lightning swaps averaged weights in at fit end)
+        if self.swa is not None and self.swa.avg_params is not None:
+            self.params = jax.device_put(
+                self.swa.final_params(self.params), replicated_sharding(self.mesh)
+            )
+        return last_val
+
+    def test(self, data_module, ckpt: str = "best") -> Dict[str, float]:
+        params = self.params
+        if ckpt == "best":
+            best = self.checkpoints.best_checkpoint()
+            if best is not None:
+                restored = CheckpointManager.restore(best)
+                params = jax.device_put(
+                    jax.tree_util.tree_unflatten(
+                        jax.tree_util.tree_structure(self.params),
+                        jax.tree_util.tree_leaves(restored["params"]),
+                    ),
+                    replicated_sharding(self.mesh),
+                )
+        elif ckpt is not None and ckpt != "last":
+            restored = CheckpointManager.restore(ckpt)
+            params = jax.device_put(
+                jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(self.params),
+                    jax.tree_util.tree_leaves(restored["params"]),
+                ),
+                replicated_sharding(self.mesh),
+            )
+        return self._run_eval(params, data_module.test_batches(), "test", self.global_step)
