@@ -1,0 +1,106 @@
+"""Benchmark: quintuplet train-step throughput on the flagship config.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Config = the manuscript training setup (`/root/reference/README.md:41`,
+`docs/cli.rst:13-118`): batch 80, trunc_len 1500, vocab 250, embedding 64,
+2-layer bi-LSTM, ranger21 optimizer, mixed precision (bf16 here; fp16 AMP
+in the reference). One full train step = 5 encoder passes (p1, p2, anchor,
+positive, negative), triplet + BCE losses, backward, Ranger21 update —
+measured at the full T=1500 token window (worst case; the production input
+pipeline length-buckets below this).
+
+vs_baseline: the reference publishes no benchmark numbers (BASELINE.md).
+The denominator is an estimate of the reference PyTorch implementation on
+A100: its WeightDrop disables cuDNN weight flattening
+(`intrepppid/utils/weightdrop.py:55-57`), forcing torch.nn.LSTM onto the
+unfused per-timestep path: >= 1500 steps x 2 dirs x 2 layers x ~4 kernel
+launches x ~7us latency ~= 170 ms per encoder call, x5 calls + ~2x backward
+=> ~2.0 s per batch-80 step ~= 40 seq-pairs/s. We round the baseline UP to
+50 seq-pairs/s to be conservative. Replace with a measured number when an
+A100 run of the reference is available.
+"""
+import json
+import time
+
+import numpy as np
+
+BASELINE_SEQ_PAIRS_PER_S = 50.0
+
+BATCH = 80
+TRUNC = 1500
+VOCAB = 250
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from intrepppid_tpu.models.factory import intrepppid_network
+    from intrepppid_tpu.models.triplet import step as triplet_step
+    from intrepppid_tpu.optim import make_optimizer
+
+    net = intrepppid_network(
+        steps_per_epoch=100, num_epochs=100, compute_dtype=jnp.bfloat16,
+        optimizer_type="ranger21_xx",
+    )
+    params = net.init(jax.random.PRNGKey(0))
+    optimizer = make_optimizer(net.optimizer_type, net.lr, 100, 100)
+    opt_state = optimizer.init(params)
+
+    rng = np.random.default_rng(0)
+
+    def ids():
+        a = rng.integers(1, VOCAB, size=(BATCH, TRUNC))
+        # realistic: ~half the window filled (1500 chars -> ~750 subwords),
+        # but at least one full-length row so the scan cannot shortcut
+        lens = rng.integers(TRUNC // 2, TRUNC + 1, size=BATCH)
+        lens[0] = TRUNC
+        for i, l in enumerate(lens):
+            a[i, l:] = 0
+        return jnp.asarray(a.astype(np.int32))
+
+    batch = {k: ids() for k in ("p1", "p2", "anchor", "positive", "negative")}
+    batch["label"] = jnp.asarray((rng.random(BATCH) > 0.5).astype(np.int32))
+
+    def train_step(params, opt_state, batch, key):
+        def loss_fn(p):
+            loss, _ = triplet_step(p, net.cfg, batch, key, train=True)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    step_fn = jax.jit(train_step, donate_argnums=(0, 1))
+    key = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    params, opt_state, loss = step_fn(params, opt_state, batch, key)
+    jax.block_until_ready(loss)
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        key = jax.random.fold_in(key, i)
+        params, opt_state, loss = step_fn(params, opt_state, batch, key)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    pairs_per_s = BATCH * n_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train seq-pairs/sec/chip (batch 80, trunc_len 1500, bf16, ranger21_xx)",
+                "value": round(pairs_per_s, 2),
+                "unit": "seq-pairs/s",
+                "vs_baseline": round(pairs_per_s / BASELINE_SEQ_PAIRS_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

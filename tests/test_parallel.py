@@ -1,0 +1,125 @@
+"""Mesh/data-parallel tests on the virtual 8-device CPU platform."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from intrepppid_tpu.models import EncoderConfig, TripletE2EConfig, init_triplet_e2e, step
+from intrepppid_tpu.optim import make_optimizer
+from intrepppid_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    pad_batch_to_multiple,
+    replicated_sharding,
+    shard_batch,
+)
+
+
+def _batch(rng, B, T=16, vocab=30):
+    def ids():
+        a = rng.integers(1, vocab, size=(B, T))
+        return a.astype(np.int32)
+
+    return {
+        "p1": ids(),
+        "p2": ids(),
+        "anchor": ids(),
+        "positive": ids(),
+        "negative": ids(),
+        "label": (rng.random(B) > 0.5).astype(np.int32),
+    }
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.shape == (8, 1)
+    mesh2 = make_mesh(n_data=4, n_model=2)
+    assert mesh2.devices.shape == (4, 2)
+    assert mesh2.axis_names == ("data", "model")
+
+
+def test_sharded_step_matches_single_device(rng):
+    """DP-sharded quintuplet train step == single-device step bitwise-ish."""
+    cfg = TripletE2EConfig(encoder=EncoderConfig(vocab_size=30, embedding_size=8))
+    params = init_triplet_e2e(jax.random.PRNGKey(0), cfg)
+    batch = _batch(rng, 16)
+    key = jax.random.PRNGKey(7)
+
+    # single device
+    loss1, aux1 = jax.jit(lambda p, b: step(p, cfg, b, key, False))(params, batch)
+
+    # 8-device mesh
+    mesh = make_mesh()
+    rep = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    p_sh = jax.device_put(params, rep)
+    b_sh = shard_batch(mesh, batch)
+    loss8, aux8 = jax.jit(
+        lambda p, b: step(p, cfg, b, key, False),
+        in_shardings=(rep, data),
+        out_shardings=rep,
+    )(p_sh, b_sh)
+
+    assert abs(float(loss1) - float(loss8)) < 1e-5
+    assert abs(float(aux1["auroc"]) - float(aux8["auroc"])) < 1e-6
+
+
+def test_sharded_grads_match(rng):
+    cfg = TripletE2EConfig(encoder=EncoderConfig(vocab_size=30, embedding_size=8))
+    params = init_triplet_e2e(jax.random.PRNGKey(0), cfg)
+    batch = _batch(rng, 8)
+    key = jax.random.PRNGKey(3)
+
+    def loss_fn(p, b):
+        return step(p, cfg, b, key, False)[0]
+
+    g1 = jax.jit(jax.grad(loss_fn))(params, batch)
+
+    mesh = make_mesh()
+    rep = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    g8 = jax.jit(
+        jax.grad(loss_fn), in_shardings=(rep, data), out_shardings=rep
+    )(jax.device_put(params, rep), shard_batch(mesh, batch))
+
+    l1 = jax.tree_util.tree_leaves(g1)
+    l8 = jax.tree_util.tree_leaves(g8)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_pad_batch_to_multiple(rng):
+    batch = _batch(rng, 5)
+    padded, true_b = pad_batch_to_multiple(batch, 8)
+    assert true_b == 5
+    assert padded["p1"].shape[0] == 8
+    np.testing.assert_array_equal(padded["p1"][5], padded["p1"][4])
+    same, n = pad_batch_to_multiple(batch, 5)
+    assert n == 5 and same["p1"].shape[0] == 5
+
+
+def test_dryrun_multichip_entrypoint():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    loss, auroc = jax.jit(fn)(*args)
+    assert np.isfinite(float(loss))
