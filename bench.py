@@ -77,16 +77,18 @@ def main():
     step_fn = jax.jit(train_step, donate_argnums=(0, 1))
     key = jax.random.PRNGKey(1)
 
-    # warmup / compile
+    # warmup / compile (float() forces a real device sync — on the axon
+    # tunnel platform block_until_ready returns early, so never trust it
+    # for timing)
     params, opt_state, loss = step_fn(params, opt_state, batch, key)
-    jax.block_until_ready(loss)
+    float(loss)
 
     n_steps = 10
     t0 = time.perf_counter()
     for i in range(n_steps):
         key = jax.random.fold_in(key, i)
         params, opt_state, loss = step_fn(params, opt_state, batch, key)
-    jax.block_until_ready(loss)
+    float(loss)  # sync on the full dependency chain
     dt = time.perf_counter() - t0
 
     pairs_per_s = BATCH * n_steps / dt

@@ -33,6 +33,21 @@ import jax.numpy as jnp
 
 Params = Dict[str, Any]
 
+# Default recurrence backend: "pallas" (fused on-chip time loop,
+# ops/lstm_pallas.py) on TPU, "scan" elsewhere. Override per call or via
+# this module global (tests exercise both).
+DEFAULT_BACKEND = "auto"
+
+
+def _use_pallas(backend: str) -> bool:
+    if backend == "auto":
+        backend = DEFAULT_BACKEND
+    if backend == "auto":
+        import jax as _jax
+
+        return _jax.devices()[0].platform.lower() in ("tpu", "axon")
+    return backend == "pallas"
+
 
 def init_lstm_params(
     key: jax.Array,
@@ -64,6 +79,7 @@ def _bidir_layer(
     x: jnp.ndarray,
     max_len: jnp.ndarray,
     compute_dtype,
+    backend: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One bidirectional layer. Returns (y (B,T,2H), hn (2,B,H), cn (2,B,H)).
 
@@ -159,6 +175,7 @@ def bilstm(
     x: jnp.ndarray,
     max_len: jnp.ndarray | int | None = None,
     compute_dtype=jnp.float32,
+    backend: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the full stacked bidirectional LSTM.
 
@@ -175,12 +192,69 @@ def bilstm(
     if max_len is None:
         max_len = x.shape[1]
     max_len = jnp.asarray(max_len, jnp.int32)
+    if _use_pallas(backend):
+        out = _bilstm_pallas(layers, x, max_len, compute_dtype)
+        if out is not None:
+            return out
     hns, cns = [], []
     y = x
     for layer_params in layers:
-        y, hn, cn = _bidir_layer(layer_params, y, max_len, compute_dtype)
+        y, hn, cn = _bidir_layer(layer_params, y, max_len, compute_dtype, backend)
         hns.append(hn)
         cns.append(cn)
     hn_all = jnp.concatenate(hns, axis=0)
     cn_all = jnp.concatenate(cns, axis=0)
     return y, hn_all, cn_all
+
+
+def _bilstm_pallas(layers, x, max_len, compute_dtype):
+    """Fused whole-layer Pallas path (ops/lstm_pallas_layer.py): natural
+    (B,T,·) layouts end to end; the 2H inter-layer concat is threaded as
+    two feature-parts and only materialised for the returned ``y``.
+    Returns None when the batch is untileable (caller falls back to scan).
+    """
+    from intrepppid_tpu.ops.lstm_pallas_layer import pallas_bidir_layer, pick_tiles
+
+    B, T, _ = x.shape
+    H = layers[0]["fwd"]["w_hh"].shape[-1]
+    grouped0 = layers[0]["fwd"]["w_hh"].ndim == 3
+    G0 = layers[0]["fwd"]["w_hh"].shape[0] if grouped0 else 1
+    tiles = pick_tiles(B, T, H, G0)
+    if tiles is None:
+        return None
+    Bt, C, Tp = tiles
+
+    # time-major throughout the stack; the only transpose is this one on
+    # the E-sized input (and on the returned y if a caller consumes it)
+    x_tm = jnp.transpose(x, (1, 0, 2))
+    if Tp != T:
+        x_tm = jnp.pad(x_tm, ((0, Tp - T), (0, 0), (0, 0)))
+    # per-row lengths: a position updates state iff t < max_len — identical
+    # for both directions (the reverse direction stays frozen at zero until
+    # it reaches position max_len-1). Positions beyond the original T are
+    # invalid automatically (max_len <= T).
+    lengths = jnp.broadcast_to(
+        jnp.asarray(max_len, jnp.int32), (B,)
+    ).reshape(B, 1)
+
+    parts = (x_tm,)
+    hns, cns = [], []
+    for lp in layers:
+        grouped = lp["fwd"]["w_hh"].ndim == 3
+        G = lp["fwd"]["w_hh"].shape[0] if grouped else 1
+        w_hh = jnp.stack([lp["fwd"]["w_hh"], lp["bwd"]["w_hh"]])
+        if not grouped:
+            w_hh = w_hh[:, None]
+        w_hh_t = jnp.swapaxes(w_hh, -1, -2)  # (2,G,H,4H)
+        w_ih = jnp.stack([lp["fwd"]["w_ih"], lp["bwd"]["w_ih"]])  # (2,4H,E)
+        bias = jnp.stack(
+            [lp["fwd"]["b_ih"] + lp["fwd"]["b_hh"], lp["bwd"]["b_ih"] + lp["bwd"]["b_hh"]]
+        )
+        hs_f, hs_b, hn, cn = pallas_bidir_layer(
+            parts, w_ih, bias, w_hh_t, lengths, G, compute_dtype, Bt, C
+        )
+        parts = (hs_f, hs_b)
+        hns.append(hn)
+        cns.append(cn)
+    y = jnp.transpose(jnp.concatenate(parts, axis=-1)[:T], (1, 0, 2))
+    return y, jnp.concatenate(hns, axis=0), jnp.concatenate(cns, axis=0)

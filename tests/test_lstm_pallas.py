@@ -1,0 +1,145 @@
+"""Pallas fused recurrence vs the lax.scan reference path (interpret mode)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from intrepppid_tpu.ops.lstm import bilstm, init_lstm_params
+from intrepppid_tpu.ops.lstm_pallas import fused_lstm_recurrence
+
+
+def _xg_from_layer(layer, x, compute_dtype=jnp.float32):
+    """Replicate ops/lstm.py's hoisted input projection + time reversal."""
+    w_ih = jnp.stack([layer["fwd"]["w_ih"], layer["bwd"]["w_ih"]]).astype(compute_dtype)
+    bias = jnp.stack(
+        [
+            layer["fwd"]["b_ih"] + layer["fwd"]["b_hh"],
+            layer["bwd"]["b_ih"] + layer["bwd"]["b_hh"],
+        ]
+    ).astype(jnp.float32)
+    xg = jnp.einsum("bte,dge->dbtg", x.astype(compute_dtype), w_ih,
+                    preferred_element_type=jnp.float32) + bias[:, None, None, :]
+    xg = jnp.stack([xg[0], xg[1, :, ::-1, :]], axis=0)
+    return jnp.transpose(xg, (2, 0, 1, 3))  # (T, 2, B, 4H)
+
+
+def _w_stacked(layer, G=1, compute_dtype=jnp.float32):
+    w = jnp.stack([layer["fwd"]["w_hh"], layer["bwd"]["w_hh"]])  # (2,4H,H)
+    wt = jnp.swapaxes(w, -1, -2)  # (2,H,4H)
+    return jnp.broadcast_to(wt[:, None], (2, G) + wt.shape[1:]).astype(compute_dtype)
+
+
+def _valid(T, B, max_len):
+    steps = jnp.arange(T)
+    ml = jnp.broadcast_to(jnp.asarray(max_len, jnp.int32), (B,))
+    return jnp.stack(
+        [steps[:, None] < ml[None, :], (T - 1 - steps)[:, None] < ml[None, :]], axis=1
+    )
+
+
+@pytest.mark.parametrize("max_len", [None, 11])
+def test_fused_matches_scan_single_layer(rng, max_len):
+    B, T, H = 4, 16, 8
+    layer = init_lstm_params(jax.random.PRNGKey(0), H, H, 1)[0]
+    x = jnp.asarray(rng.normal(size=(B, T, H)).astype(np.float32))
+    ml = max_len if max_len is not None else T
+    _, hn_ref, cn_ref = bilstm([layer], x, ml)
+
+    xg = _xg_from_layer(layer, x)
+    valid = _valid(T, B, ml)
+    hs, hn, cn = fused_lstm_recurrence(xg, valid, _w_stacked(layer), 1, jnp.float32)
+    np.testing.assert_allclose(np.asarray(hn), np.asarray(hn_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cn), np.asarray(cn_ref), atol=1e-5)
+
+
+def test_fused_hs_matches_scan_outputs(rng):
+    B, T, H = 3, 12, 8
+    layer = init_lstm_params(jax.random.PRNGKey(1), H, H, 1)[0]
+    x = jnp.asarray(rng.normal(size=(B, T, H)).astype(np.float32))
+    y_ref, _, _ = bilstm([layer], x, T)
+    xg = _xg_from_layer(layer, x)
+    hs, _, _ = fused_lstm_recurrence(xg, _valid(T, B, T), _w_stacked(layer), 1, jnp.float32)
+    # hs: (T,2,B,H); fwd output at t = hs[t,0]; bwd output at pos t = hs[T-1-t,1]
+    y_fwd = jnp.transpose(hs[:, 0], (1, 0, 2))
+    y_bwd = jnp.transpose(hs[:, 1], (1, 0, 2))[:, ::-1, :]
+    y = jnp.concatenate([y_fwd, y_bwd], axis=-1)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
+
+
+def test_fused_grouped_weights(rng):
+    B, T, H, G = 6, 10, 8, 2
+    layer = init_lstm_params(jax.random.PRNGKey(2), H, H, 1)[0]
+    wa = layer["fwd"]["w_hh"] * 1.2
+    wb = layer["fwd"]["w_hh"] * 0.8
+    la = [dict(fwd=dict(layer["fwd"], w_hh=wa), bwd=layer["bwd"])]
+    lb = [dict(fwd=dict(layer["fwd"], w_hh=wb), bwd=layer["bwd"])]
+    xa = jnp.asarray(rng.normal(size=(3, T, H)).astype(np.float32))
+    xb = jnp.asarray(rng.normal(size=(3, T, H)).astype(np.float32))
+    _, hn_a, _ = bilstm(la, xa, T)
+    _, hn_b, _ = bilstm(lb, xb, T)
+
+    x = jnp.concatenate([xa, xb], axis=0)
+    xg = _xg_from_layer(layer, x)
+    w_g = jnp.stack(
+        [
+            jnp.stack([jnp.swapaxes(wa, 0, 1), jnp.swapaxes(wb, 0, 1)]),
+            jnp.broadcast_to(
+                jnp.swapaxes(layer["bwd"]["w_hh"], 0, 1)[None], (2, H, 4 * H)
+            ),
+        ]
+    )  # (2, G, H, 4H)
+    _, hn, _ = fused_lstm_recurrence(xg, _valid(T, B, T), w_g, G, jnp.float32)
+    np.testing.assert_allclose(np.asarray(hn[:, :3]), np.asarray(hn_a), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hn[:, 3:]), np.asarray(hn_b), atol=1e-5)
+
+
+def test_fused_gradients_match_scan(rng):
+    """custom_vjp backward kernel == autodiff through the scan path."""
+    B, T, H = 4, 12, 8
+    layer = init_lstm_params(jax.random.PRNGKey(3), H, H, 1)[0]
+    x = jnp.asarray(rng.normal(size=(B, T, H)).astype(np.float32))
+    ml = 9
+
+    def loss_scan(layer, x):
+        y, hn, _ = bilstm([layer], x, ml)
+        return jnp.sum(hn**2) + jnp.sum(y**2)
+
+    g_ref = jax.grad(loss_scan, argnums=(0, 1))(layer, x)
+
+    def loss_fused(layer, x):
+        xg = _xg_from_layer(layer, x)
+        w = _w_stacked(layer)
+        hs, hn, _ = fused_lstm_recurrence(xg, _valid(T, B, ml), w, 1, jnp.float32)
+        y_fwd = jnp.transpose(hs[:, 0], (1, 0, 2))
+        y_bwd = jnp.transpose(hs[:, 1], (1, 0, 2))[:, ::-1, :]
+        y = jnp.concatenate([y_fwd, y_bwd], axis=-1)
+        return jnp.sum(hn**2) + jnp.sum(y**2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1))(layer, x)
+
+    for direction in ("fwd", "bwd"):
+        for name in ("w_ih", "w_hh", "b_ih", "b_hh"):
+            np.testing.assert_allclose(
+                np.asarray(g_fused[0][direction][name]),
+                np.asarray(g_ref[0][direction][name]),
+                atol=2e-4,
+                err_msg=f"{direction}.{name}",
+            )
+    np.testing.assert_allclose(np.asarray(g_fused[1]), np.asarray(g_ref[1]), atol=2e-4)
+
+
+def test_fused_grouped_gradients(rng):
+    B, T, H, G = 4, 8, 8, 2
+    layer = init_lstm_params(jax.random.PRNGKey(4), H, H, 1)[0]
+    x = jnp.asarray(rng.normal(size=(B, T, H)).astype(np.float32))
+    xg = _xg_from_layer(layer, x)
+    w_g = _w_stacked(layer, G)
+
+    def loss(w):
+        hs, hn, _ = fused_lstm_recurrence(xg, _valid(T, B, T), w, G, jnp.float32)
+        return jnp.sum(hn**2)
+
+    g = jax.grad(loss)(w_g)
+    assert np.all(np.isfinite(np.asarray(g)))
+    # groups share inputs here per batch half; grads differ across groups
+    assert float(jnp.abs(g).sum()) > 0
