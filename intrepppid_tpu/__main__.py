@@ -10,8 +10,9 @@ def main(argv=None):
     from intrepppid_tpu.cli.parser import dispatch
     from intrepppid_tpu.cli.train import Train
     from intrepppid_tpu.cli.infer import Infer
+    from intrepppid_tpu.cli.evaluate import Eval
 
-    return dispatch({"train": Train(), "infer": Infer()}, argv)
+    return dispatch({"train": Train(), "infer": Infer(), "eval": Eval()}, argv)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,99 @@
+"""Evaluation CLI — score a trained checkpoint on any INTREPPPID dataset.
+
+The reference has no standalone eval entry point (testing happens only
+inside ``trainer.test`` at the end of a training run). This command covers
+the paper's headline benchmark protocol — train on one species, zero-shot
+evaluate on another species' test split — without retraining:
+
+    python -m intrepppid_tpu eval e2e_rnn_triplet \
+        --checkpoint_path logs/<run>/chkpt/<best> \
+        --ppi_dataset_path mouse.h5 --sentencepiece_path spm.model \
+        --c_type 3 --out_path mouse_metrics.json
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional
+
+
+class Eval:
+    @staticmethod
+    def e2e_rnn_triplet(
+        checkpoint_path: Path,
+        ppi_dataset_path: Path,
+        sentencepiece_path: Path,
+        c_type: int,
+        out_path: Optional[Path] = None,
+        split: str = "test",
+        batch_size: int = 80,
+        vocab_size: int = 250,
+        trunc_len: int = 1500,
+        embedding_size: int = 64,
+        rnn_num_layers: int = 2,
+        bi_reduce: str = "last",
+        use_projection: bool = False,
+        beta_classifier: float = 2.0,
+        seed: int = 8675309,
+        precision: str = "bf16",
+    ):
+        """Evaluate a checkpoint on a dataset split; prints and optionally
+        writes the metric dict (AUROC/AP/MCC/precision/recall + losses)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from intrepppid_tpu.data.ppi_oma import IntrepppidDataModule
+        from intrepppid_tpu.models.factory import intrepppid_network
+        from intrepppid_tpu.models.triplet import step as triplet_step
+        from intrepppid_tpu.parallel import pad_batch_to_multiple
+        from intrepppid_tpu.train.checkpoint import load_params_from_checkpoint
+        from intrepppid_tpu.train.trainer import EpochAccumulator
+
+        dm = IntrepppidDataModule(
+            batch_size=batch_size,
+            dataset_path=ppi_dataset_path,
+            c_type=c_type,
+            trunc_len=trunc_len,
+            workers=0,
+            vocab_size=vocab_size,
+            model_file=sentencepiece_path,
+            seed=seed,
+            sos=False,
+            eos=False,
+            negative_omid=True,
+        )
+        dm.setup()
+
+        net = intrepppid_network(
+            steps_per_epoch=0,
+            vocab_size=vocab_size,
+            embedding_size=embedding_size,
+            rnn_num_layers=rnn_num_layers,
+            bi_reduce=bi_reduce,
+            use_projection=use_projection,
+            beta_classifier=beta_classifier,
+            compute_dtype=jnp.bfloat16 if precision == "bf16" else jnp.float32,
+        )
+        params = load_params_from_checkpoint(checkpoint_path)
+
+        eval_step = jax.jit(
+            lambda p, b: triplet_step(p, net.cfg, b, jax.random.PRNGKey(0), False)[1]
+        )
+        batches = {
+            "train": lambda: dm.train_batches(0),
+            "val": dm.val_batches,
+            "test": dm.test_batches,
+        }[split]()
+        acc = EpochAccumulator()
+        for batch in batches:
+            batch, true_b = pad_batch_to_multiple(batch, 1)
+            aux = eval_step(params, batch)
+            acc.add(aux, true_b)
+        metrics = {f"{split}_{k}": float(v) for k, v in acc.means().items()}
+        print(json.dumps(metrics, indent=2))
+        if out_path is not None:
+            Path(out_path).parent.mkdir(parents=True, exist_ok=True)
+            with open(out_path, "w") as f:
+                json.dump(metrics, f, indent=2)
+        return metrics

@@ -29,6 +29,15 @@ Exact step-by-step numerical identity with the pinned torch package cannot
 be validated in this environment (the package is not installable here);
 each component is unit-tested against its mathematical definition instead,
 and training parity is held distributionally (SURVEY.md §7 "hard parts").
+
+Scale caveat (property of the algorithm, reproduced faithfully): AGC ties
+gradient magnitude to ``||p||`` while stable weight decay divides the decay
+by the gradient RMS, so at toy scales (tiny inits / tiny gradients) the
+effective decay fraction ``wd*lr/rms(v̂)`` can reach or exceed 1 and collapse
+the weights; the softplus denominator floor (ln2/beta) additionally removes
+Adam's scale invariance for gradients below ~1e-2. Both are benign at the
+reference model's real scales. ``stable_decay_max_fraction`` offers an
+opt-in clamp for small-scale experiments (None = faithful behaviour).
 """
 from __future__ import annotations
 
@@ -136,6 +145,7 @@ def ranger21(
     lookahead_active: bool = True,
     lookahead_mergetime: int = 5,
     lookahead_blending_alpha: float = 0.5,
+    stable_decay_max_fraction: Optional[float] = None,
 ) -> optax.GradientTransformation:
     """Build the Ranger21 optax transformation.
 
@@ -220,11 +230,15 @@ def ranger21(
         lr = lr_at(stepf)
         noise_norm = math.sqrt((1.0 + pnm_momentum_factor) ** 2 + pnm_momentum_factor**2)
 
+        decay_fraction = weight_decay * lr / variance_normalized
+        if stable_decay_max_fraction is not None:
+            decay_fraction = jnp.minimum(decay_fraction, stable_decay_max_fraction)
+
         def param_update(p, g_ma, n_ma, v):
             p32 = p.astype(jnp.float32)
             new_p = p32
             if weight_decay > 0.0:
-                new_p = new_p * (1.0 - weight_decay * lr / variance_normalized)
+                new_p = new_p * (1.0 - decay_fraction)
             if normloss_active:
                 unorm = jnp.maximum(_unit_norm(new_p), 1e-12)
                 correction = 2.0 * normloss_factor * lr * (unorm - 1.0) / unorm

@@ -129,9 +129,88 @@ def make_h5(path: Path, n_train=24, n_val=8, n_test=8, seed=7) -> None:
         sgrp.create_dataset("test", data=np.array([p.encode() for p in prot_ids[2 * n3 :]]))
 
 
+def make_learnable_h5(path: Path, n_train=160, n_val=48, n_test=48, seed=11) -> None:
+    """A dataset with real signal: proteins either carry the motif 'WWWWW'
+    or not, and a pair interacts iff BOTH carry it. Orthogroups are point
+    mutations of a shared base sequence, so the orthologue triplet task is
+    learnable too."""
+    import h5py
+
+    rng = np.random.default_rng(seed)
+    n_groups = 12
+    group_ids = [2000 + g for g in range(n_groups)]
+    prot_ids, seqs, has_motif = [], {}, {}
+    orthologs = []
+    for gi, g in enumerate(group_ids):
+        base = random_protein(rng, 25, 40)
+        motif_group = gi % 2 == 0
+        for m in range(4):
+            pid = f"G{gi:02d}M{m}"
+            seq = list(base)
+            for _ in range(3):  # point mutations
+                pos = int(rng.integers(0, len(seq)))
+                seq[pos] = str(rng.choice(list(AAS)))
+            seq = "".join(seq)
+            if motif_group:
+                ins = int(rng.integers(0, len(seq)))
+                seq = seq[:ins] + "WWWWW" + seq[ins:]
+            prot_ids.append(pid)
+            seqs[pid] = seq
+            has_motif[pid] = motif_group
+            orthologs.append((g, pid))
+
+    def interactions(n):
+        rows = []
+        for _ in range(n):
+            p1, p2 = rng.choice(prot_ids, size=2, replace=False)
+            label = has_motif[p1] and has_motif[p2]
+            gidx = int(rng.integers(0, n_groups))
+            anchor = f"G{gidx:02d}M{int(rng.integers(0, 4))}"
+            rows.append((p1, p2, anchor, group_ids[gidx], bool(label)))
+        return rows
+
+    itx_dtype = np.dtype(
+        [
+            ("protein_id1", "S16"),
+            ("protein_id2", "S16"),
+            ("omid_protein_id", "S16"),
+            ("omid_id", np.int64),
+            ("label", np.bool_),
+        ]
+    )
+    seq_dtype = np.dtype([("name", "S16"), ("sequence", "S2000")])
+    ortho_dtype = np.dtype([("ortholog_group_id", np.int64), ("protein_id", "S16")])
+
+    with h5py.File(path, "w") as f:
+        f.create_dataset(
+            "sequences",
+            data=np.array(
+                [(p.encode(), seqs[p].encode()) for p in prot_ids], dtype=seq_dtype
+            ),
+        )
+        f.create_dataset(
+            "orthologs",
+            data=np.array([(g, m.encode()) for g, m in orthologs], dtype=ortho_dtype),
+        )
+        grp = f.create_group("interactions").create_group("c3")
+        for split, n in (("train", n_train), ("val", n_val), ("test", n_test)):
+            rows = interactions(n)
+            grp.create_dataset(
+                f"c3_{split}",
+                data=np.array(
+                    [
+                        (p1.encode(), p2.encode(), a.encode(), g, l)
+                        for p1, p2, a, g, l in rows
+                    ],
+                    dtype=itx_dtype,
+                ),
+            )
+
+
 def main():
     save_model(toy_protein_model(), HERE / "tiny_spm.model")
     make_h5(HERE / "tiny.h5")
+    make_learnable_h5(HERE / "learnable.h5")
     print("fixtures written to", HERE)
 
 

@@ -1,0 +1,58 @@
+"""Eval CLI: cross-dataset (zero-shot) evaluation of a checkpoint."""
+import json
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+import pytest
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+
+@pytest.fixture(scope="module")
+def fixtures():
+    if not (FIXTURES / "learnable.h5").exists():
+        subprocess.run([sys.executable, str(FIXTURES / "make_fixtures.py")], check=True)
+    return FIXTURES
+
+
+def test_eval_on_other_dataset(fixtures, tmp_path):
+    # train briefly on tiny.h5, then zero-shot evaluate on learnable.h5
+    from intrepppid_tpu.cli.train import Train
+    from intrepppid_tpu.cli.evaluate import Eval
+
+    trainer, _ = Train.e2e_rnn_triplet(
+        ppi_dataset_path=fixtures / "tiny.h5",
+        sentencepiece_path=fixtures / "tiny_spm.model",
+        c_type=3, num_epochs=1, batch_size=8, seed=4, vocab_size=38,
+        trunc_len=48, embedding_size=16, workers=0,
+        log_path=tmp_path / "logs", optimizer_type="adamw", precision="fp32",
+    )
+    best = trainer.checkpoints.best_checkpoint()
+    assert best is not None
+
+    metrics = Eval.e2e_rnn_triplet(
+        checkpoint_path=best,
+        ppi_dataset_path=fixtures / "learnable.h5",
+        sentencepiece_path=fixtures / "tiny_spm.model",
+        c_type=3,
+        out_path=tmp_path / "cross.json",
+        batch_size=8, vocab_size=38, trunc_len=48, embedding_size=16,
+        precision="fp32",
+    )
+    assert "test_auroc" in metrics
+    saved = json.loads((tmp_path / "cross.json").read_text())
+    assert saved == pytest.approx(metrics)
+
+
+def test_eval_cli_dispatch_help():
+    import io
+    from contextlib import redirect_stdout
+
+    from intrepppid_tpu.__main__ import main
+
+    buf = io.StringIO()
+    with pytest.raises(SystemExit), redirect_stdout(buf):
+        main(["eval", "e2e_rnn_triplet", "--help"])
+    assert "--checkpoint_path" in buf.getvalue()
