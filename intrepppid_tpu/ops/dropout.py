@@ -58,6 +58,36 @@ def variational_weight(key: jax.Array, w: jnp.ndarray, p: float) -> jnp.ndarray:
     return jnp.where(keep, w / (1.0 - p), 0.0).astype(w.dtype)
 
 
+@jax.custom_vjp
+def embedding_gather(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """``table[ids]`` with an MXU-friendly backward.
+
+    XLA's autodiff of a gather is a scatter-add, which serialises on TPU
+    (measured ~90 ms per train step at the flagship shape). The VJP here is
+    the algebraic equivalent one-hot contraction ``dtable = onehot(ids)^T @
+    dout`` — one small GEMM (vocabularies in this domain are tiny).
+    """
+    return jnp.take(table, ids, axis=0)
+
+
+def _embedding_gather_fwd(table, ids):
+    return jnp.take(table, ids, axis=0), (ids, table.shape[0])
+
+
+def _embedding_gather_bwd(residuals, dout):
+    ids, vocab = residuals
+    onehot = jax.nn.one_hot(ids.reshape(-1), vocab, dtype=dout.dtype)
+    dtable = jax.lax.dot_general(
+        onehot, dout.reshape(-1, dout.shape[-1]),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dout.dtype)
+    return dtable, None
+
+
+embedding_gather.defvjp(_embedding_gather_fwd, _embedding_gather_bwd)
+
+
 def embedding_dropout(
     key: jax.Array,
     embedding: jnp.ndarray,
@@ -79,7 +109,7 @@ def embedding_dropout(
         table = jnp.where(keep, embedding / (1.0 - p), 0.0).astype(embedding.dtype)
     else:
         table = embedding
-    out = jnp.take(table, ids, axis=0)
+    out = embedding_gather(table, ids)
     if padding_idx is not None:
         out = jnp.where((ids == padding_idx)[..., None], 0.0, out)
     return out
