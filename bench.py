@@ -64,30 +64,48 @@ def main():
     batch = {k: ids() for k in ("p1", "p2", "anchor", "positive", "negative")}
     batch["label"] = jnp.asarray((rng.random(BATCH) > 0.5).astype(np.int32))
 
-    def train_step(params, opt_state, batch, key):
+    # K steps per dispatch — the Trainer's steps_per_dispatch path (verified
+    # numerically identical to single-step dispatch in tests); amortises
+    # per-dispatch runtime overhead exactly as production training does.
+    K = 5
+
+    def one(carry, inp):
+        params, opt_state = carry
+        b, key = inp
+
         def loss_fn(p):
-            loss, _ = triplet_step(p, net.cfg, batch, key, train=True)
+            loss, _ = triplet_step(p, net.cfg, b, key, train=True)
             return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return (params, opt_state), loss
 
-    step_fn = jax.jit(train_step, donate_argnums=(0, 1))
+    def multi_step(params, opt_state, batches, keys):
+        (params, opt_state), losses = jax.lax.scan(
+            one, (params, opt_state), (batches, keys)
+        )
+        return params, opt_state, losses[-1]
+
+    step_fn = jax.jit(multi_step, donate_argnums=(0, 1))
+    kbatch = {
+        k: jnp.broadcast_to(v, (K,) + v.shape) for k, v in batch.items()
+    }
     key = jax.random.PRNGKey(1)
 
     # warmup / compile (float() forces a real device sync — on the axon
     # tunnel platform block_until_ready returns early, so never trust it
     # for timing)
-    params, opt_state, loss = step_fn(params, opt_state, batch, key)
+    params, opt_state, loss = step_fn(params, opt_state, kbatch, jax.random.split(key, K))
     float(loss)
 
-    n_steps = 10
+    n_dispatch = 4
+    n_steps = n_dispatch * K
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        key = jax.random.fold_in(key, i)
-        params, opt_state, loss = step_fn(params, opt_state, batch, key)
+    for i in range(n_dispatch):
+        keys = jax.random.split(jax.random.fold_in(key, i), K)
+        params, opt_state, loss = step_fn(params, opt_state, kbatch, keys)
     float(loss)  # sync on the full dependency chain
     dt = time.perf_counter() - t0
 

@@ -4,6 +4,7 @@ from intrepppid_tpu.parallel.mesh import (
     pad_batch_to_multiple,
     replicated_sharding,
     shard_batch,
+    stacked_batch_sharding,
 )
 
 __all__ = [
@@ -11,5 +12,6 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
+    "stacked_batch_sharding",
     "pad_batch_to_multiple",
 ]

@@ -38,6 +38,11 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec("data"))
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """For (K, B, ...) stacks of batches: shard the second (batch) axis."""
+    return NamedSharding(mesh, PartitionSpec(None, "data"))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
 

@@ -87,6 +87,7 @@ class Trainer:
         mesh=None,
         prefetch: int = 2,
         use_swa_lr_scale: bool = True,
+        steps_per_dispatch: int = 1,
     ):
         self.net = net
         self.seed = seed
@@ -99,6 +100,7 @@ class Trainer:
         self.swa = SWAState(swa, net.num_epochs) if swa is not None else None
         self.use_swa_lr_scale = use_swa_lr_scale
         self.prefetch = prefetch
+        self.steps_per_dispatch = max(int(steps_per_dispatch), 1)
 
         self.optimizer = make_optimizer(
             net.optimizer_type, net.lr, net.steps_per_epoch, net.num_epochs
@@ -114,6 +116,7 @@ class Trainer:
         self._base_key = jax.random.PRNGKey(seed)
 
         self._train_step = self._build_train_step()
+        self._multi_step = self._build_multi_step()
         self._eval_step = self._build_eval_step()
 
     # ------------------------------------------------------------ jit steps
@@ -137,6 +140,46 @@ class Trainer:
         return jax.jit(
             train_step,
             in_shardings=(rep, rep, data, rep, rep),
+            out_shardings=(rep, rep, rep),
+            donate_argnums=(0, 1),
+        )
+
+    def _build_multi_step(self):
+        """K train steps in one dispatch (lax.scan over stacked same-shape
+        batches). Amortises per-dispatch host/runtime overhead — measured
+        ~46 ms/step on a tunnelled v5e — without changing step semantics;
+        per-step aux metrics come back stacked for logging."""
+        net = self.net
+        optimizer = self.optimizer
+        rep = replicated_sharding(self.mesh)
+        data = batch_sharding(self.mesh)
+
+        def one(carry, inp):
+            params, opt_state = carry
+            batch, key, lr_scale = inp
+
+            def loss_fn(p):
+                loss, aux = net.step(p, batch, key, train=True)
+                return loss, aux
+
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), aux
+
+        def multi_step(params, opt_state, batches, keys, lr_scales):
+            (params, opt_state), auxs = jax.lax.scan(
+                one, (params, opt_state), (batches, keys, lr_scales)
+            )
+            return params, opt_state, auxs
+
+        from intrepppid_tpu.parallel import stacked_batch_sharding
+
+        sdata = stacked_batch_sharding(self.mesh)
+        return jax.jit(
+            multi_step,
+            in_shardings=(rep, rep, sdata, rep, rep),
             out_shardings=(rep, rep, rep),
             donate_argnums=(0, 1),
         )
@@ -245,15 +288,10 @@ class Trainer:
                 size=self.prefetch,
                 sharding=data_sh,
             )
-            for batch, true_b in batches:
-                key = jax.random.fold_in(self._base_key, self.global_step)
-                self.params, self.opt_state, aux = self._train_step(
-                    self.params, self.opt_state, batch,
-                    key, jnp.float32(lr_scale),
-                )
+
+            def log_step(aux, true_b):
                 self.global_step += 1
                 acc.add(aux, true_b)
-                n_samples += true_b
                 if self.global_step % self.log_every_n_steps == 0:
                     self._log(
                         {
@@ -264,6 +302,57 @@ class Trainer:
                         },
                         self.global_step,
                     )
+
+            def run_single(batch, true_b):
+                key = jax.random.fold_in(self._base_key, self.global_step)
+                self.params, self.opt_state, aux = self._train_step(
+                    self.params, self.opt_state, batch,
+                    key, jnp.float32(lr_scale),
+                )
+                log_step(aux, true_b)
+
+            def run_stack(buf):
+                # K same-shape batches in one dispatch
+                K = len(buf)
+                stacked = {
+                    k: jnp.stack([b[k] for b, _ in buf]) for k in buf[0][0]
+                }
+                keys = jnp.stack(
+                    [
+                        jax.random.fold_in(self._base_key, self.global_step + i)
+                        for i in range(K)
+                    ]
+                )
+                scales = jnp.full((K,), lr_scale, jnp.float32)
+                self.params, self.opt_state, auxs = self._multi_step(
+                    self.params, self.opt_state, stacked, keys, scales
+                )
+                for i, (_, true_b) in enumerate(buf):
+                    aux = {k: v[i] for k, v in auxs.items()}
+                    log_step(aux, true_b)
+
+            buf = []
+            for batch, true_b in batches:
+                n_samples += true_b
+                if self.steps_per_dispatch <= 1:
+                    run_single(batch, true_b)
+                    continue
+                if buf and buf[0][0]["p1"].shape != batch["p1"].shape:
+                    # bucket boundary: flush
+                    if len(buf) == 1:
+                        run_single(*buf[0])
+                    else:
+                        run_stack(buf)
+                    buf = []
+                buf.append((batch, true_b))
+                if len(buf) == self.steps_per_dispatch:
+                    run_stack(buf)
+                    buf = []
+            if buf:
+                if len(buf) == 1:
+                    run_single(*buf[0])
+                else:
+                    run_stack(buf)
             epoch_time = time.perf_counter() - t0
             train_metrics = {f"train_{k}": v for k, v in acc.means().items()}
             train_metrics["epoch_time_s"] = epoch_time

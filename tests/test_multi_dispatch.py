@@ -1,0 +1,52 @@
+"""steps_per_dispatch > 1 must be numerically identical to single-step
+dispatch (same per-step RNG keys, same optimizer trajectory)."""
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+
+@pytest.fixture(scope="module")
+def fixtures():
+    if not (FIXTURES / "tiny.h5").exists():
+        subprocess.run([sys.executable, str(FIXTURES / "make_fixtures.py")], check=True)
+    return FIXTURES
+
+
+def _train(fixtures, steps_per_dispatch):
+    from intrepppid_tpu.data.ppi_oma import IntrepppidDataModule
+    from intrepppid_tpu.models.factory import intrepppid_network
+    from intrepppid_tpu.train.trainer import Trainer
+
+    dm = IntrepppidDataModule(
+        batch_size=8, dataset_path=fixtures / "tiny.h5", c_type=3, trunc_len=48,
+        workers=0, vocab_size=38, model_file=fixtures / "tiny_spm.model",
+        seed=9, sos=False, eos=False, negative_omid=True,
+    )
+    dm.setup()
+    net = intrepppid_network(
+        steps_per_epoch=dm.steps_per_epoch, vocab_size=38, embedding_size=16,
+        num_epochs=2, optimizer_type="adamw", lr=1e-3,
+    )
+    t = Trainer(
+        net, tempfile.mkdtemp(), f"md{steps_per_dispatch}", seed=7,
+        swa=None, steps_per_dispatch=steps_per_dispatch,
+    )
+    t.fit(dm)
+    return t
+
+
+def test_multi_dispatch_matches_single(fixtures):
+    t1 = _train(fixtures, 1)
+    t2 = _train(fixtures, 3)
+    assert t1.global_step == t2.global_step
+    l1 = jax.tree_util.tree_leaves(t1.params)
+    l2 = jax.tree_util.tree_leaves(t2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
