@@ -44,6 +44,7 @@ class Train:
         optimizer_type: str = "ranger21",
         precision: str = "bf16",
         n_data_parallel: Optional[int] = None,
+        steps_per_dispatch: int = 1,
     ):
         """Train INTREPPPID end-to-end: AWD-LSTM encoder + MLP classifier
         with the orthologue triplet task, on TPU via JAX."""
@@ -86,4 +87,5 @@ class Train:
             seed=seed,
             precision=precision,
             n_data_parallel=n_data_parallel,
+            steps_per_dispatch=steps_per_dispatch,
         )

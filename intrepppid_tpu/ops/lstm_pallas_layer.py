@@ -14,17 +14,27 @@ Three layout generations were measured on v5e at the flagship shape
   the reverse direction reads mirrored *contiguous* blocks via its index
   map, outputs stay time-major for the next layer, and ``hn`` needs no
   rearrangement. The only transpose in the whole encoder is the initial
-  ``x`` to time-major (E=64: ~1 ms).
+  ``x`` to time-major (E=64: ~1 ms). 62.4 ms total.
 
-Grid = (batch tiles, time chunks), time innermost; batch tiling engages
-only when VMEM demands it (blocks stay contiguous per time row). State
-(h, c) lives in VMEM scratch across each tile's time sweep. Per-call
-weight-dropped recurrent weights (G groups, group-major batch) run as G
-row-sliced matmuls per step. Masking uses per-row lengths compared against
-the global position in-kernel.
+Structure:
 
-Semantics are identical to ops/lstm.py's scan path (value + gradient
-parity enforced by tests).
+* grid = (batch tiles, time chunks), time innermost; h/c state lives in
+  VMEM scratch across each tile's time sweep. The in-kernel time unroll is
+  pinned to C=1 — larger unrolls blow up Mosaic compile time (~8 min at
+  C=8 vs ~2 s) and the automatic block pipeline already overlaps DMA.
+* per-call weight-dropped recurrent weights (G groups, group-major batch):
+  when a tile sits inside one group (Bt <= Bg) its group's weights are
+  *streamed* per tile through the BlockSpec index map (so VMEM holds one
+  group's matrices, not all G) and ``dW`` accumulates per tile into a
+  small scratch, emitted per tile and segment-summed by group in XLA —
+  this keeps VMEM independent of G and supports large-H scaled configs.
+  When a tile spans several groups (Bt > Bg; tiny batches), the full
+  weight stack rides along and row-sliced matmuls select groups.
+* masking: per-row lengths compared against the global position in-kernel
+  (positions >= length freeze the state) — identical semantics to the scan
+  path (value + gradient parity enforced by tests).
+* eval forwards (outside autodiff) skip the cell-state output streams —
+  one third less output bandwidth for inference.
 """
 from __future__ import annotations
 
@@ -42,22 +52,26 @@ _VMEM_BUDGET = 13 * 1024 * 1024
 
 
 def pick_tiles(B: int, T: int, H: int, G: int) -> Optional[Tuple[int, int, int]]:
-    """Choose (Bt, C, Tp): batch tile, time chunk, padded T.
+    """Choose (Bt, C, Tp): batch tile, time chunk (pinned 1), padded T.
 
-    Bt must divide the group size B/G (or be a multiple of it) and be a
-    multiple of 8 (second-minor block dim); the lane dims (4H, H) meet the
-    constraints via padding. C is a free (third-from-minor) dim — only
-    VMEM bounds it.
+    Bt must divide B, be a multiple of 8 (second-minor block dim), and
+    either divide the group size B/G or be a multiple of it. Returns None
+    if B is untileable (caller falls back to the scan path).
     """
     Hp = ((H + 127) // 128) * 128
     H4 = 4 * H
     Bg = B // G if G > 0 else B
 
-    def vmem(bt: int, c: int) -> int:
-        # worst case is backward: xg f/b + dxg f/b in 4H lanes, six state
-        # streams in lane-padded H; x2 double buffering
+    def vmem(bt: int) -> int:
+        c = 1
+        gpt = bt // Bg if bt > Bg else 1
+        w_groups = G if bt > Bg else 1  # streamed per-tile weights otherwise
         per_buffer = 4 * c * bt * H4 * 4 + 6 * c * bt * Hp * 4
-        fixed = 12 * bt * Hp * 4 + 3 * 2 * G * H * H4 * 4 + 4 * 2 * G * H * H4 * 2
+        fixed = (
+            12 * bt * Hp * 4                      # dhn/dcn blocks + state scratch
+            + 3 * 2 * gpt * H * H4 * 4            # dw scratch + dbl-buffered out
+            + 2 * 2 * 2 * w_groups * H * H4 * 2   # w + wT blocks (bf16, dbl)
+        )
         return 2 * per_buffer + fixed
 
     candidates = [
@@ -65,19 +79,10 @@ def pick_tiles(B: int, T: int, H: int, G: int) -> Optional[Tuple[int, int, int]]
         for bt in range(8, min(B, 1024) + 1, 8)
         if B % bt == 0 and (Bg % bt == 0 or bt % Bg == 0)
     ]
-    best = None
-    # C is pinned to 1: larger in-kernel time unrolls blow up Mosaic compile
-    # time catastrophically (C=8 measured at ~8 min vs 2 s for C=1) while
-    # the automatic block pipeline already overlaps the C=1 DMAs.
     for bt in sorted(candidates, reverse=True):
-        if vmem(bt, 1) <= _VMEM_BUDGET:
-            best = (bt, 1)
-            break
-    if best is None:
-        return None
-    bt, c = best
-    Tp = ((T + c - 1) // c) * c
-    return bt, c, Tp
+        if vmem(bt) <= _VMEM_BUDGET:
+            return bt, 1, T
+    return None
 
 
 def _cell(gates, c_prev):
@@ -91,21 +96,16 @@ def _cell(gates, c_prev):
     return h_new, c_new, (i, f, g, o)
 
 
-def _recur(h, w_ref, d: int, G: int, Bt: int, Bg: int, tile_b, compute_dtype):
-    """h (Bt,H) @ per-group weights -> (Bt,4H) f32.
+def _recur(h, w_ref, d: int, Bt: int, Bg: int, tile_b, compute_dtype):
+    """h (Bt,H) @ recurrent weights -> (Bt,4H) f32.
 
-    When a tile sits inside one group (Bt <= Bg) the group index derives
-    from the tile index; when it spans several, each group's row slice uses
-    its own weights.
+    ``w_ref`` is either a per-tile streamed block (2, 1, H, 4H) — the tile's
+    own group — or the full stack (2, G, H, 4H) when tiles span groups.
     """
     hb = h.astype(compute_dtype)
-    if G == 1:
-        return jax.lax.dot_general(
-            hb, w_ref[d, 0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    if Bt <= Bg:
-        g = (tile_b * Bt) // Bg
+    streamed = w_ref.shape[1] == 1
+    if streamed or Bt <= Bg:
+        g = 0 if streamed else (tile_b * Bt) // Bg
         return jax.lax.dot_general(
             hb, w_ref[d, g], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -127,10 +127,17 @@ def _recur(h, w_ref, d: int, G: int, Bt: int, Bg: int, tile_b, compute_dtype):
 
 def _fwd_kernel(
     xg_f_ref, xg_b_ref, len_ref, w_ref,
-    hsf_ref, hsb_ref, csf_ref, csb_ref, hn_ref, cn_ref,
-    hf_scr, cf_scr, hb_scr, cb_scr,
-    *, C: int, Bt: int, Bg: int, G: int, compute_dtype,
+    *refs,
+    C: int, Bt: int, Bg: int, compute_dtype, with_states: bool,
 ):
+    if with_states:
+        (hsf_ref, hsb_ref, csf_ref, csb_ref, hn_ref, cn_ref,
+         hf_scr, cf_scr, hb_scr, cb_scr) = refs
+    else:
+        (hsf_ref, hsb_ref, hn_ref, cn_ref,
+         hf_scr, cf_scr, hb_scr, cb_scr) = refs
+        csf_ref = csb_ref = None
+
     b = pl.program_id(0)
     t = pl.program_id(1)
     nT = pl.num_programs(1)
@@ -147,13 +154,14 @@ def _fwd_kernel(
     def step(d, s_local, pos, xg_ref, h_scr, c_scr, hs_ref, cs_ref):
         m = jnp.where(pos < lengths, 1.0, 0.0).astype(jnp.float32)
         gates = xg_ref[s_local] + _recur(
-            h_scr[...], w_ref, d, G, Bt, Bg, b, compute_dtype
+            h_scr[...], w_ref, d, Bt, Bg, b, compute_dtype
         )
         h_new, c_new, _ = _cell(gates, c_scr[...])
         h_scr[...] = m * h_new + (1.0 - m) * h_scr[...]
         c_scr[...] = m * c_new + (1.0 - m) * c_scr[...]
         hs_ref[s_local] = h_scr[...]
-        cs_ref[s_local] = c_scr[...]
+        if cs_ref is not None:
+            cs_ref[s_local] = c_scr[...]
 
     for s in range(C):
         step(0, s, t * C + s, xg_f_ref, hf_scr, cf_scr, hsf_ref, csf_ref)
@@ -166,9 +174,23 @@ def _fwd_kernel(
     cn_ref[1] = cb_scr[...]
 
 
-def _fwd_pallas(xg_f, xg_b, lengths, w, *, Bt: int, C: int, G: int, compute_dtype):
+def _w_spec(B, Bt, G, H, H4, transposed=False):
+    """BlockSpec for recurrent weights: per-tile streamed group when tiles
+    sit inside groups, full stack otherwise."""
+    Bg = B // G
+    shape = (2, G, H4, H) if transposed else (2, G, H, H4)
+    if G > 1 and Bt <= Bg:
+        block = (2, 1) + shape[2:]
+        return pl.BlockSpec(
+            block, lambda b, t: (0, (b * Bt) // Bg, 0, 0), memory_space=pltpu.VMEM
+        )
+    return pl.BlockSpec(shape, lambda b, t: (0, 0, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _fwd_pallas(xg_f, xg_b, lengths, w, *, Bt: int, C: int, G: int,
+                compute_dtype, with_states: bool):
     """xg_f/xg_b (Tp,B,4H) f32 (natural position order); lengths (B,1) i32;
-    w (2,G,H,4H). Returns hs_f, hs_b, cs_f, cs_b (Tp,B,H), hn, cn (2,B,H)."""
+    w (2,G,H,4H). Returns hs_f, hs_b[, cs_f, cs_b] (Tp,B,H), hn, cn (2,B,H)."""
     Tp, B, H4 = xg_f.shape
     H = H4 // 4
     nB, nT = B // Bt, Tp // C
@@ -178,10 +200,27 @@ def _fwd_pallas(xg_f, xg_b, lengths, w, *, Bt: int, C: int, G: int, compute_dtyp
     mir = lambda b, t: (nT - 1 - t, b, 0)
     lmap = lambda b, t: (b, 0)
     onb = lambda b, t: (0, b, 0)
-    wfix = lambda b, t: (0, 0, 0, 0)
+
+    st_out = pl.BlockSpec((C, Bt, H), fwd, memory_space=pltpu.VMEM)
+    st_out_m = pl.BlockSpec((C, Bt, H), mir, memory_space=pltpu.VMEM)
+    st_shape = jax.ShapeDtypeStruct((Tp, B, H), jnp.float32)
+    out_specs = [st_out, st_out_m]
+    out_shape = [st_shape, st_shape]
+    if with_states:
+        out_specs += [st_out, st_out_m]
+        out_shape += [st_shape, st_shape]
+    out_specs += [
+        pl.BlockSpec((2, Bt, H), onb, memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, Bt, H), onb, memory_space=pltpu.VMEM),
+    ]
+    out_shape += [
+        jax.ShapeDtypeStruct((2, B, H), jnp.float32),
+        jax.ShapeDtypeStruct((2, B, H), jnp.float32),
+    ]
 
     kernel = functools.partial(
-        _fwd_kernel, C=C, Bt=Bt, Bg=Bg, G=G, compute_dtype=compute_dtype
+        _fwd_kernel, C=C, Bt=Bt, Bg=Bg, compute_dtype=compute_dtype,
+        with_states=with_states,
     )
     return pl.pallas_call(
         kernel,
@@ -190,24 +229,10 @@ def _fwd_pallas(xg_f, xg_b, lengths, w, *, Bt: int, C: int, G: int, compute_dtyp
             pl.BlockSpec((C, Bt, H4), fwd, memory_space=pltpu.VMEM),
             pl.BlockSpec((C, Bt, H4), mir, memory_space=pltpu.VMEM),
             pl.BlockSpec((Bt, 1), lmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, G, H, H4), wfix, memory_space=pltpu.VMEM),
+            _w_spec(B, Bt, G, H, H4),
         ],
-        out_specs=[
-            pl.BlockSpec((C, Bt, H), fwd, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, Bt, H), mir, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, Bt, H), fwd, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, Bt, H), mir, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, Bt, H), onb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, Bt, H), onb, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Tp, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((Tp, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((Tp, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((Tp, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((2, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((2, B, H), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((Bt, H), jnp.float32) for _ in range(4)],
         interpret=_interpret(),
     )(xg_f, xg_b, lengths, w)
@@ -218,9 +243,9 @@ def _fwd_pallas(xg_f, xg_b, lengths, w, *, Bt: int, C: int, G: int, compute_dtyp
 def _bwd_kernel(
     xg_f_ref, xg_b_ref, len_ref, w_ref, wT_ref,
     hpf_ref, cpf_ref, hpb_ref, cpb_ref, dyf_ref, dyb_ref, dhn_ref, dcn_ref,
-    dxg_f_ref, dxg_b_ref, dw_ref,
+    dxg_f_ref, dxg_b_ref, dw_tiles_ref,
     dhf_scr, dcf_scr, dhb_scr, dcb_scr, dw_scr,
-    *, C: int, Bt: int, Bg: int, G: int, compute_dtype,
+    *, C: int, Bt: int, Bg: int, compute_dtype,
 ):
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -232,68 +257,23 @@ def _bwd_kernel(
         dcf_scr[...] = dcn_ref[0]
         dhb_scr[...] = dhn_ref[1]
         dcb_scr[...] = dcn_ref[1]
-
-        @pl.when(b == 0)
-        def _():
-            dw_scr[...] = jnp.zeros_like(dw_scr)
+        dw_scr[...] = jnp.zeros_like(dw_scr)
 
     lengths = len_ref[...]
+    GPT = dw_scr.shape[1]  # groups per tile (1 when tiles sit inside groups)
 
-    def _dw_accum(d, h_prev, dgb):
-        hpb = h_prev.astype(compute_dtype)
-        if G == 1:
-            dw_scr[d, 0] += jax.lax.dot_general(
-                hpb, dgb, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return
-        if Bt <= Bg:
-            g = (b * Bt) // Bg
-            dw_scr[d, g] += jax.lax.dot_general(
-                hpb, dgb, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return
-        per_tile_groups = Bt // Bg
-        for j in range(per_tile_groups):
-            g = b * per_tile_groups + j
-            sl = slice(j * Bg, (j + 1) * Bg)
-            dw_scr[d, g] += jax.lax.dot_general(
-                hpb[sl], dgb[sl], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-    def _dh_prev(d, dgb):
-        if G == 1:
-            return jax.lax.dot_general(
-                dgb, wT_ref[d, 0], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        if Bt <= Bg:
-            g = (b * Bt) // Bg
-            return jax.lax.dot_general(
-                dgb, wT_ref[d, g], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        per_tile_groups = Bt // Bg
-        parts = []
-        for j in range(per_tile_groups):
-            g = b * per_tile_groups + j
-            sl = slice(j * Bg, (j + 1) * Bg)
-            parts.append(
-                jax.lax.dot_general(
-                    dgb[sl], wT_ref[d, g], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            )
-        return jnp.concatenate(parts, axis=0)
+    def _slices(dgb, h_prev):
+        """(group-local slice pairs) for dW accumulation / dh matmuls."""
+        if GPT == 1:
+            return [(0, slice(None))]
+        return [(j, slice(j * Bg, (j + 1) * Bg)) for j in range(GPT)]
 
     def direction(d, s_local, pos, xg_ref, hp_ref, cp_ref, dy_ref,
                   dh_scr, dc_scr, dxg_ref):
         h_prev = hp_ref[s_local]
         c_prev = cp_ref[s_local]
         gates = xg_ref[s_local] + _recur(
-            h_prev, w_ref, d, G, Bt, Bg, b, compute_dtype
+            h_prev, w_ref, d, Bt, Bg, b, compute_dtype
         )
         _, c_new, (i, f, gg_, o) = _cell(gates, c_prev)
 
@@ -312,8 +292,34 @@ def _bwd_kernel(
         dxg_ref[s_local] = dgates
 
         dgb = dgates.astype(compute_dtype)
-        dhp = _dh_prev(d, dgb)
-        _dw_accum(d, h_prev, dgb)
+        hpb = h_prev.astype(compute_dtype)
+        streamed = wT_ref.shape[1] == 1
+        if GPT == 1:
+            g = 0 if streamed else ((b * Bt) // Bg if wT_ref.shape[1] > 1 else 0)
+            dhp = jax.lax.dot_general(
+                dgb, wT_ref[d, g], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dw_scr[d, 0] += jax.lax.dot_general(
+                hpb, dgb, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            parts = []
+            for j in range(GPT):
+                g = b * GPT + j
+                sl = slice(j * Bg, (j + 1) * Bg)
+                parts.append(
+                    jax.lax.dot_general(
+                        dgb[sl], wT_ref[d, g], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+                dw_scr[d, j] += jax.lax.dot_general(
+                    hpb[sl], dgb[sl], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            dhp = jnp.concatenate(parts, axis=0)
         dh_scr[...] = dhp + dh * (1.0 - m)
         dc_scr[...] = dc_t * f * m + dc * (1.0 - m)
 
@@ -326,7 +332,7 @@ def _bwd_kernel(
         direction(1, sb, t * C + sb, xg_b_ref, hpb_ref, cpb_ref,
                   dyb_ref, dhb_scr, dcb_scr, dxg_b_ref)
 
-    dw_ref[...] = dw_scr[...]
+    dw_tiles_ref[0] = dw_scr[...]
 
 
 def _bwd_pallas(
@@ -337,25 +343,25 @@ def _bwd_pallas(
     H = H4 // 4
     nB, nT = B // Bt, Tp // C
     Bg = B // G
+    GPT = Bt // Bg if Bt > Bg else 1
 
     mir = lambda b, t: (nT - 1 - t, b, 0)   # fwd-dir BPTT order
     fwd = lambda b, t: (t, b, 0)            # bwd-dir BPTT order
     lmap = lambda b, t: (b, 0)
     onb = lambda b, t: (0, b, 0)
-    wfix = lambda b, t: (0, 0, 0, 0)
 
     kernel = functools.partial(
-        _bwd_kernel, C=C, Bt=Bt, Bg=Bg, G=G, compute_dtype=compute_dtype
+        _bwd_kernel, C=C, Bt=Bt, Bg=Bg, compute_dtype=compute_dtype
     )
-    return pl.pallas_call(
+    dxg_f, dxg_b, dw_tiles = pl.pallas_call(
         kernel,
         grid=(nB, nT),
         in_specs=[
             pl.BlockSpec((C, Bt, H4), mir, memory_space=pltpu.VMEM),
             pl.BlockSpec((C, Bt, H4), fwd, memory_space=pltpu.VMEM),
             pl.BlockSpec((Bt, 1), lmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, G, H, H4), wfix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, G, H4, H), wfix, memory_space=pltpu.VMEM),
+            _w_spec(B, Bt, G, H, H4),
+            _w_spec(B, Bt, G, H, H4, transposed=True),
             pl.BlockSpec((C, Bt, H), mir, memory_space=pltpu.VMEM),
             pl.BlockSpec((C, Bt, H), mir, memory_space=pltpu.VMEM),
             pl.BlockSpec((C, Bt, H), fwd, memory_space=pltpu.VMEM),
@@ -368,17 +374,36 @@ def _bwd_pallas(
         out_specs=[
             pl.BlockSpec((C, Bt, H4), mir, memory_space=pltpu.VMEM),
             pl.BlockSpec((C, Bt, H4), fwd, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, G, H, H4), wfix, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 2, GPT, H, H4),
+                lambda b, t: (b, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Tp, B, H4), jnp.float32),
             jax.ShapeDtypeStruct((Tp, B, H4), jnp.float32),
-            jax.ShapeDtypeStruct((2, G, H, H4), jnp.float32),
+            jax.ShapeDtypeStruct((nB, 2, GPT, H, H4), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((Bt, H), jnp.float32) for _ in range(4)]
-        + [pltpu.VMEM((2, G, H, H4), jnp.float32)],
+        + [pltpu.VMEM((2, GPT, H, H4), jnp.float32)],
         interpret=_interpret(),
     )(xg_f, xg_b, lengths, w, wT, hp_f, cp_f, hp_b, cp_b, dy_f, dy_b, dhn, dcn)
+
+    # reduce per-tile dW into per-group dW in XLA
+    if GPT == 1:
+        if G == 1:
+            dw = jnp.sum(dw_tiles, axis=0)  # (2,1,H,H4) — GPT axis is the G axis
+        else:
+            groups = (jnp.arange(nB) * Bt) // Bg
+            dw = jax.ops.segment_sum(
+                dw_tiles[:, :, 0], groups, num_segments=G
+            )  # (G,2,H,H4)
+            dw = jnp.swapaxes(dw, 0, 1)
+    else:
+        # tile b covers groups [b*GPT, (b+1)*GPT): exact partition, no sum
+        dw = jnp.swapaxes(dw_tiles, 0, 1).reshape(2, G, H, H4)
+    return dxg_f, dxg_b, dw
 
 
 # ----------------------------------------------------------- layer-level op
@@ -413,8 +438,14 @@ def pallas_bidir_layer(
     :param lengths: ``(B, 1)`` int32 — positions >= length freeze the state.
     :returns: ``(hs_f (Tp,B,H), hs_b (Tp,B,H), hn (2,B,H), cn (2,B,H))``.
     """
-    out, _ = _layer_fwd(x_parts, w_ih, bias, w_hh_t, lengths, G, compute_dtype, Bt, C)
-    return out
+    xg_f = _input_gates(x_parts, w_ih, bias, 0, compute_dtype)
+    xg_b = _input_gates(x_parts, w_ih, bias, 1, compute_dtype)
+    # eval/primal path: skip the cell-state residual streams
+    hs_f, hs_b, hn, cn = _fwd_pallas(
+        xg_f, xg_b, lengths, w_hh_t.astype(compute_dtype),
+        Bt=Bt, C=C, G=G, compute_dtype=compute_dtype, with_states=False,
+    )
+    return hs_f, hs_b, hn, cn
 
 
 def _layer_fwd(x_parts, w_ih, bias, w_hh_t, lengths, G, compute_dtype, Bt, C):
@@ -422,7 +453,7 @@ def _layer_fwd(x_parts, w_ih, bias, w_hh_t, lengths, G, compute_dtype, Bt, C):
     xg_b = _input_gates(x_parts, w_ih, bias, 1, compute_dtype)
     hs_f, hs_b, cs_f, cs_b, hn, cn = _fwd_pallas(
         xg_f, xg_b, lengths, w_hh_t.astype(compute_dtype),
-        Bt=Bt, C=C, G=G, compute_dtype=compute_dtype,
+        Bt=Bt, C=C, G=G, compute_dtype=compute_dtype, with_states=True,
     )
     residuals = (
         tuple(x_parts), w_ih, w_hh_t, lengths, xg_f, xg_b, hs_f, hs_b, cs_f, cs_b

@@ -63,6 +63,7 @@ def train_e2e_rnn_triplet(
     seed: Optional[int] = None,
     precision: str = "bf16",
     n_data_parallel: Optional[int] = None,
+    steps_per_dispatch: int = 1,
 ):
     log_path = Path(log_path)
     hyperparams_path = Path(hyperparams_path)
@@ -167,6 +168,7 @@ def train_e2e_rnn_triplet(
         log_every_n_steps=2,
         swa=SWAConfig(swa_lr=1e-2),
         mesh=mesh,
+        steps_per_dispatch=steps_per_dispatch,
     )
     trainer.init_state()
 
