@@ -42,8 +42,11 @@ class SWAState:
         if not self.active(epoch):
             return
         if self.avg_params is None:
+            # must be a distinct buffer: params get DONATED by the jitted
+            # train step, so an aliasing snapshot (astype on same-dtype is a
+            # no-op view) would be deleted out from under us next step
             self.avg_params = jax.tree_util.tree_map(
-                lambda p: p.astype(jnp.float32), params
+                lambda p: jnp.array(p, dtype=jnp.float32, copy=True), params
             )
             self.n_averaged = 1
             return

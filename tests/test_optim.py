@@ -243,6 +243,15 @@ class TestSWA:
             np.asarray(swa.final_params(params)["w"]), [1.0, 1.0]
         )
 
+    def test_first_snapshot_not_aliased(self):
+        """Params are donated by the jitted train step; SWA's first snapshot
+        must be a distinct buffer or it gets deleted under us (only
+        reproduces on TPU — donation is a no-op on CPU)."""
+        swa = SWAState(SWAConfig(), num_epochs=10)
+        params = {"w": jnp.ones((2, 2), jnp.float32)}
+        swa.update(9, params)
+        assert swa.avg_params["w"] is not params["w"]
+
     def test_lr_anneal(self):
         swa = SWAState(SWAConfig(swa_lr=1e-3), num_epochs=10)
         base = 1e-2
