@@ -15,10 +15,9 @@ from __future__ import annotations
 
 import argparse
 import inspect
-import sys
 import typing
 from pathlib import Path
-from typing import Any, Callable, Dict, Optional, Union
+from typing import Any, Callable, Dict, Union
 
 
 def _parse_bool(v: str) -> bool:

@@ -7,7 +7,6 @@ TPU additions: ``--precision bf16|fp32`` (reference: fp16 AMP on GPU) and
 """
 from __future__ import annotations
 
-import random
 from datetime import datetime
 from pathlib import Path
 from typing import Optional, Union

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import csv
 import random
-from pathlib import Path
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np

@@ -8,7 +8,6 @@ with `intrepppid/data/__init__.py:18`; unused by shipped entry points.
 """
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Dict, Iterator, Optional
 
 import numpy as np

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import math
 import unicodedata
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 

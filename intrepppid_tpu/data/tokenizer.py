@@ -15,12 +15,10 @@ native code — the production input-pipeline path.
 from __future__ import annotations
 
 import ctypes
-from pathlib import Path
 from typing import List, Optional, Sequence
 
 import numpy as np
 
-from intrepppid_tpu.data.spm.proto import load_model
 from intrepppid_tpu.data.spm.unigram import UnigramTokenizer
 from intrepppid_tpu.native import load_spm_library
 

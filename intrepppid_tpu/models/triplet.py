@@ -16,7 +16,7 @@ differ from torch anyway; parity is distributional (SURVEY.md §7).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field
 from typing import Any, Dict, Optional, Tuple
 
 import jax

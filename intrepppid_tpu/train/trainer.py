@@ -22,7 +22,6 @@ TPU-native replacement for the reference's ``pl.Trainer`` usage
 from __future__ import annotations
 
 import time
-from pathlib import Path
 from typing import Any, Dict, Iterator, Optional
 
 import jax
