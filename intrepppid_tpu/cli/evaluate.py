@@ -27,21 +27,48 @@ class Eval:
         out_path: Optional[Path] = None,
         split: str = "test",
         batch_size: int = 80,
-        vocab_size: int = 250,
-        trunc_len: int = 1500,
-        embedding_size: int = 64,
-        rnn_num_layers: int = 2,
-        bi_reduce: str = "last",
-        use_projection: bool = False,
-        beta_classifier: float = 2.0,
+        vocab_size: Optional[int] = None,
+        trunc_len: Optional[int] = None,
+        embedding_size: Optional[int] = None,
+        rnn_num_layers: Optional[int] = None,
+        bi_reduce: Optional[str] = None,
+        use_projection: Optional[bool] = None,
+        beta_classifier: Optional[float] = None,
         seed: int = 8675309,
         precision: str = "bf16",
     ):
         """Evaluate a checkpoint on a dataset split; prints and optionally
-        writes the metric dict (AUROC/AP/MCC/precision/recall + losses)."""
+        writes the metric dict (AUROC/AP/MCC/precision/recall + losses).
+
+        Architecture hyperparameters default to the values recorded in the
+        run's ``hyperparams.json`` (found two directories above the
+        checkpoint, the training layout) when available, else to the
+        manuscript defaults; explicit flags always win.
+        """
+        import json as _json
+
         import jax
         import jax.numpy as jnp
         import numpy as np
+
+        hp = {}
+        hp_path = Path(checkpoint_path).parent.parent / "hyperparams.json"
+        if hp_path.exists():
+            with open(hp_path) as f:
+                hp = _json.load(f)
+
+        def pick(explicit, key, default):
+            if explicit is not None:
+                return explicit
+            return hp.get(key, default)
+
+        vocab_size = pick(vocab_size, "vocab_size", 250)
+        trunc_len = pick(trunc_len, "trunc_len", 1500)
+        embedding_size = pick(embedding_size, "embedding_size", 64)
+        rnn_num_layers = pick(rnn_num_layers, "rnn_num_layers", 2)
+        bi_reduce = pick(bi_reduce, "bi_reduce", "last")
+        use_projection = pick(use_projection, "use_projection", False)
+        beta_classifier = pick(beta_classifier, "beta_classifier", 2.0)
 
         from intrepppid_tpu.data.ppi_oma import IntrepppidDataModule
         from intrepppid_tpu.models.factory import intrepppid_network
@@ -76,6 +103,12 @@ class Eval:
             compute_dtype=jnp.bfloat16 if precision == "bf16" else jnp.float32,
         )
         params = load_params_from_checkpoint(checkpoint_path)
+        if "triplet_projection" in params and not use_projection:
+            print(
+                "WARNING: checkpoint contains triplet_projection weights but "
+                "use_projection=False — triplet metrics will differ from the "
+                "training run. Pass --use_projection true to match."
+            )
 
         eval_step = jax.jit(
             lambda p, b: triplet_step(p, net.cfg, b, jax.random.PRNGKey(0), False)[1]

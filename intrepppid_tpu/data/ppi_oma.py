@@ -28,8 +28,11 @@ TPU-native additions (not in the reference):
 * length bucketing: batches are emitted at the smallest bucket length
   >= the batch's longest sequence, bounding XLA recompiles while recovering
   the reference's dynamic-truncation compute win,
-* deterministic val/test token caching (sampling is off there, so ids are
-  reusable across epochs).
+* optional val/test batch caching (``cache_eval_tokens=True``) — subword
+  sampling is off there so token ids are stable, but NOTE the random
+  orthologue positive/negative draws get frozen at their first-epoch
+  values too, whereas the reference re-draws them every eval epoch; the
+  default is therefore off (exact reference semantics).
 """
 from __future__ import annotations
 
@@ -231,7 +234,7 @@ class IntrepppidDataModule:
         eos: bool,
         negative_omid: bool = False,
         bucket_lengths: Optional[Sequence[int]] = None,
-        cache_eval_tokens: bool = True,
+        cache_eval_tokens: bool = False,
     ):
         self.batch_size = batch_size
         self.dataset_path = dataset_path

@@ -103,7 +103,10 @@ def step(
     quantities (`e2e_triplet.py:113-187`).
 
     ``batch``: dict with ``p1, p2, anchor, positive, negative`` int32
-    ``(B, T)`` arrays and ``label`` ``(B,)``.
+    ``(B, T)`` arrays and ``label`` ``(B,)``; an optional ``weight`` ``(B,)``
+    float masks rows out of losses and metrics (used for batches padded up
+    to the device count — padded rows get weight 0, so multi-device results
+    match the reference's unpadded computation exactly).
     """
     k_enc, k_head = jax.random.split(key)
     B = batch["p1"].shape[0]
@@ -119,15 +122,16 @@ def step(
         z_positive = apply_triplet_projection(params, z_positive)
         z_negative = apply_triplet_projection(params, z_negative)
 
+    weights = batch.get("weight")
     triplet_loss = triplet_margin_loss(
-        z_anchor, z_positive, z_negative, margin=cfg.triplet_margin
+        z_anchor, z_positive, z_negative, margin=cfg.triplet_margin, weights=weights
     )
 
     logits = apply_mlp_head(
         params["head"], z1, z2, k_head, cfg.do_rate, train
     ).squeeze(-1)
     y = batch["label"].astype(jnp.float32)
-    classifier_loss = bce_with_logits(logits, y)
+    classifier_loss = bce_with_logits(logits, y, weights)
 
     loss = combined_triplet_loss(classifier_loss, triplet_loss, cfg.beta_classifier)
 
@@ -136,5 +140,5 @@ def step(
         "classifier_loss": classifier_loss,
         "triplet_loss": triplet_loss,
     }
-    aux.update(all_binary_metrics(logits, y))
+    aux.update(all_binary_metrics(logits, y, weights))
     return loss, aux

@@ -55,7 +55,17 @@ def load_spm_library() -> Optional[ctypes.CDLL]:
         _build_attempted = True
         if not build_native():
             return None
-        lib = ctypes.CDLL(str(_LIB_PATH))
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:
+            # stale or foreign-architecture binary: rebuild once, else fall
+            # back to the pure-Python engine
+            if not build_native(force=True):
+                return None
+            try:
+                lib = ctypes.CDLL(str(_LIB_PATH))
+            except OSError:
+                return None
         lib.spm_load.restype = ctypes.c_void_p
         lib.spm_load.argtypes = [ctypes.c_char_p]
         lib.spm_free.argtypes = [ctypes.c_void_p]

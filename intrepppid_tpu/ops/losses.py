@@ -17,15 +17,22 @@ import jax
 import jax.numpy as jnp
 
 
-def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+def bce_with_logits(
+    logits: jnp.ndarray, targets: jnp.ndarray, weights: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """Mean binary cross-entropy on logits, numerically stable.
 
-    Uses ``max(x,0) - x*y + log1p(exp(-|x|))`` like torch.
+    Uses ``max(x,0) - x*y + log1p(exp(-|x|))`` like torch. Optional per-row
+    ``weights`` turn the mean into a weighted mean (used to mask padded rows
+    in multi-device batches; all-ones == unweighted).
     """
     logits = logits.astype(jnp.float32)
     targets = targets.astype(jnp.float32)
     loss = jnp.maximum(logits, 0.0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-    return jnp.mean(loss)
+    if weights is None:
+        return jnp.mean(loss)
+    w = weights.astype(jnp.float32)
+    return jnp.sum(loss * w) / jnp.maximum(jnp.sum(w), 1e-9)
 
 
 def pairwise_distance(x1: jnp.ndarray, x2: jnp.ndarray, p: float = 2.0, eps: float = 1e-6) -> jnp.ndarray:
@@ -41,13 +48,18 @@ def triplet_margin_loss(
     margin: float = 1.0,
     p: float = 2.0,
     eps: float = 1e-6,
+    weights: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     anchor = anchor.astype(jnp.float32)
     positive = positive.astype(jnp.float32)
     negative = negative.astype(jnp.float32)
     d_ap = pairwise_distance(anchor, positive, p, eps)
     d_an = pairwise_distance(anchor, negative, p, eps)
-    return jnp.mean(jnp.maximum(d_ap - d_an + margin, 0.0))
+    hinge = jnp.maximum(d_ap - d_an + margin, 0.0)
+    if weights is None:
+        return jnp.mean(hinge)
+    w = weights.astype(jnp.float32)
+    return jnp.sum(hinge * w) / jnp.maximum(jnp.sum(w), 1e-9)
 
 
 def combined_triplet_loss(

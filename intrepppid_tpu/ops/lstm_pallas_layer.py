@@ -46,7 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from intrepppid_tpu.ops.lstm_pallas import _interpret
+from intrepppid_tpu.ops.lstm_pallas import _cell, _interpret
 
 _VMEM_BUDGET = 13 * 1024 * 1024
 
@@ -83,17 +83,6 @@ def pick_tiles(B: int, T: int, H: int, G: int) -> Optional[Tuple[int, int, int]]
         if vmem(bt) <= _VMEM_BUDGET:
             return bt, 1, T
     return None
-
-
-def _cell(gates, c_prev):
-    H = c_prev.shape[-1]
-    i = jax.nn.sigmoid(gates[..., :H])
-    f = jax.nn.sigmoid(gates[..., H : 2 * H])
-    g = jnp.tanh(gates[..., 2 * H : 3 * H])
-    o = jax.nn.sigmoid(gates[..., 3 * H :])
-    c_new = f * c_prev + i * g
-    h_new = o * jnp.tanh(c_new)
-    return h_new, c_new, (i, f, g, o)
 
 
 def _recur(h, w_ref, d: int, Bt: int, Bg: int, tile_b, compute_dtype):

@@ -54,8 +54,10 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
 
 def pad_batch_to_multiple(batch: dict, multiple: int):
     """Pad the batch dim up to a multiple (device count) by repeating the
-    final row; returns (padded_batch, true_size). The trainer weights
-    metrics/losses by true_size when padding was added."""
+    final row; returns (padded_batch, true_size). Padded rows get a
+    ``weight`` of 0 (real rows 1), which the quintuplet step uses to mask
+    them out of losses, gradients and metrics — padded multi-device
+    results are exactly the unpadded ones."""
     import numpy as np
 
     n = next(iter(batch.values())).shape[0]
@@ -66,4 +68,12 @@ def pad_batch_to_multiple(batch: dict, multiple: int):
     out = {}
     for k, v in batch.items():
         out[k] = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
+    weight = out.get("weight")
+    if weight is None:
+        weight = np.concatenate(
+            [np.ones(n, np.float32), np.zeros(pad, np.float32)]
+        )
+    else:
+        weight = np.concatenate([weight[:n], np.zeros(pad, weight.dtype)])
+    out["weight"] = weight
     return out, n

@@ -23,14 +23,30 @@ def _np_tree(tree):
 
 
 class CheckpointManager:
-    """Writes one orbax checkpoint dir per epoch, tracks the best val_loss."""
+    """Per-epoch orbax checkpoints monitoring ``val_loss``.
 
-    def __init__(self, chkpt_dir, model_name: str):
+    Like Lightning's ``ModelCheckpoint(save_top_k=1)`` (the reference's
+    configuration) only the best checkpoint is kept, plus the most recent
+    one for resume; older non-best checkpoints are pruned. Pass
+    ``keep_all=True`` to retain every epoch. Best-checkpoint tracking
+    persists in ``best.json`` and survives process restarts (resume does
+    not reset it).
+    """
+
+    def __init__(self, chkpt_dir, model_name: str, keep_all: bool = False):
         self.chkpt_dir = Path(chkpt_dir)
         self.chkpt_dir.mkdir(parents=True, exist_ok=True)
         self.model_name = model_name
+        self.keep_all = keep_all
         self.best_val_loss = float("inf")
         self.best_path: Optional[Path] = None
+        self.last_path: Optional[Path] = None
+        marker = self.chkpt_dir / "best.json"
+        if marker.exists():
+            with open(marker) as f:
+                data = json.load(f)
+            self.best_val_loss = data.get("val_loss", float("inf"))
+            self.best_path = Path(data["best"])
         self._checkpointer = ocp.PyTreeCheckpointer()
 
     def save(self, state: Dict[str, Any], epoch: int, val_loss: float) -> Path:
@@ -42,11 +58,24 @@ class CheckpointManager:
         meta = {"epoch": epoch, "val_loss": val_loss, "model_name": self.model_name}
         with open(path / "intrepppid_meta.json", "w") as f:
             json.dump(meta, f)
+        prev_best = self.best_path
+        prev_last = self.last_path
+        self.last_path = path
         if val_loss < self.best_val_loss:
             self.best_val_loss = val_loss
             self.best_path = path
             with open(self.chkpt_dir / "best.json", "w") as f:
                 json.dump({"best": str(path), "val_loss": val_loss}, f)
+            if not self.keep_all and prev_best is not None and prev_best.exists():
+                if prev_best != prev_last:
+                    shutil.rmtree(prev_best, ignore_errors=True)
+        if (
+            not self.keep_all
+            and prev_last is not None
+            and prev_last not in (self.best_path, path)
+            and prev_last.exists()
+        ):
+            shutil.rmtree(prev_last, ignore_errors=True)
         return path
 
     @staticmethod

@@ -11,7 +11,11 @@ TPU-native replacement for the reference's ``pl.Trainer`` usage
   (SURVEY.md Appendix A #14),
 * per-epoch orbax checkpoints monitoring ``val_loss``; best-checkpoint
   test; resume from a checkpoint path,
-* StochasticWeightAveraging from 80% of epochs (`e2e_triplet.py:390`),
+* StochasticWeightAveraging from 80% of epochs (`e2e_triplet.py:390`) —
+  parameter averaging only by default: scaling a composite Ranger21 update
+  (lookahead merges, stable decay) by an SWALR-style multiplier would
+  desynchronise the lookahead fast/slow weights, so ``use_swa_lr_scale``
+  defaults to False (opt-in, meaningful for the plain AdamW variants),
 * DictLogger (-> metrics.json) + TensorBoard + per-step LR monitor
   (`e2e_triplet.py:387-389`), logging train step losses every
   ``log_every_n_steps`` (default 2, `e2e_triplet.py:399`),
@@ -85,8 +89,9 @@ class Trainer:
         swa: Optional[SWAConfig] = SWAConfig(),
         mesh=None,
         prefetch: int = 2,
-        use_swa_lr_scale: bool = True,
+        use_swa_lr_scale: bool = False,
         steps_per_dispatch: int = 1,
+        keep_all_checkpoints: bool = False,
     ):
         self.net = net
         self.seed = seed
@@ -95,7 +100,9 @@ class Trainer:
         self.log_every_n_steps = log_every_n_steps
         self.mesh = mesh if mesh is not None else make_mesh(n_data=1)
         self.n_devices = int(np.prod(self.mesh.devices.shape))
-        self.checkpoints = CheckpointManager(chkpt_dir, model_name)
+        self.checkpoints = CheckpointManager(
+            chkpt_dir, model_name, keep_all=keep_all_checkpoints
+        )
         self.swa = SWAState(swa, net.num_epochs) if swa is not None else None
         self.use_swa_lr_scale = use_swa_lr_scale
         self.prefetch = prefetch
@@ -253,10 +260,13 @@ class Trainer:
     # -------------------------------------------------------------- running
     def _run_eval(self, params, batches: Iterator, stage: str, step: int) -> Dict[str, float]:
         acc = EpochAccumulator()
-        rep_key = jax.random.PRNGKey(0)
-        for batch in batches:
+        eval_key = jax.random.PRNGKey(self.seed + 17)
+        for i, batch in enumerate(batches):
             batch, true_b = pad_batch_to_multiple(batch, self.n_devices)
-            aux = self._eval_step(params, batch, rep_key)
+            # fresh key per batch: matters only for the always-active
+            # variational weight-drop quirk, which the reference re-draws
+            # per forward
+            aux = self._eval_step(params, batch, jax.random.fold_in(eval_key, i))
             acc.add({k: v for k, v in aux.items()}, true_b)
         metrics = {f"{stage}_{k}": v for k, v in acc.means().items()}
         self._log(metrics, step)
@@ -337,21 +347,18 @@ class Trainer:
                     run_single(batch, true_b)
                     continue
                 if buf and buf[0][0]["p1"].shape != batch["p1"].shape:
-                    # bucket boundary: flush
-                    if len(buf) == 1:
-                        run_single(*buf[0])
-                    else:
-                        run_stack(buf)
+                    # bucket boundary: flush partials through the (already
+                    # compiled) single-step executable — a run_stack here
+                    # would force a fresh K'-step compile per partial length
+                    for item in buf:
+                        run_single(*item)
                     buf = []
                 buf.append((batch, true_b))
                 if len(buf) == self.steps_per_dispatch:
                     run_stack(buf)
                     buf = []
-            if buf:
-                if len(buf) == 1:
-                    run_single(*buf[0])
-                else:
-                    run_stack(buf)
+            for item in buf:
+                run_single(*item)
             epoch_time = time.perf_counter() - t0
             train_metrics = {f"train_{k}": v for k, v in acc.means().items()}
             train_metrics["epoch_time_s"] = epoch_time

@@ -148,12 +148,29 @@ class TestDataModule:
         )
 
     def test_val_cache_stable(self, fixtures):
-        dm = self._dm(fixtures)
+        dm = self._dm(fixtures, cache_eval_tokens=True)
         v1 = list(dm.val_batches())
         v2 = list(dm.val_batches())
         for a, b in zip(v1, v2):
             np.testing.assert_array_equal(a["p1"], b["p1"])
             np.testing.assert_array_equal(a["negative"], b["negative"])
+
+    def test_eval_cache_off_by_default_redraws(self, fixtures):
+        """Default (no cache): orthologue negatives are re-drawn per epoch,
+        like the reference's per-__getitem__ sampling."""
+        dm = self._dm(fixtures)
+        v1 = list(dm.val_batches())
+        v2 = list(dm.val_batches())
+        import numpy as np
+        same_p1 = all(
+            np.array_equal(a["p1"], b["p1"]) for a, b in zip(v1, v2)
+        )
+        assert same_p1  # deterministic tokens
+        diff_neg = any(
+            not np.array_equal(a["negative"], b["negative"])
+            for a, b in zip(v1, v2)
+        )
+        assert diff_neg  # but fresh random negatives
 
     def test_batch_matches_dataset_tokens_val(self, fixtures):
         """Vectorised batch path == per-item dataset path (deterministic val)."""

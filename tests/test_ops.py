@@ -140,6 +140,42 @@ class TestMetrics:
             for v in m.values():
                 assert np.isfinite(float(v))
 
+    def test_weighted_matches_unweighted_with_ones(self, rng):
+        logits, y = self._data(rng)
+        w = np.ones_like(logits)
+        m0 = all_binary_metrics(jnp.asarray(logits), jnp.asarray(y))
+        m1 = all_binary_metrics(jnp.asarray(logits), jnp.asarray(y), jnp.asarray(w))
+        for k in m0:
+            assert abs(float(m0[k]) - float(m1[k])) < 1e-6, k
+
+    def test_zero_weight_rows_are_masked(self, rng):
+        """Padded rows (weight 0) must not affect any metric — multi-device
+        padding correctness."""
+        logits, y = self._data(rng, n=37)
+        pad_logits = np.concatenate([logits, [5.0, -3.0, 0.1]]).astype(np.float32)
+        pad_y = np.concatenate([y, [1, 0, 1]]).astype(np.int32)
+        w = np.concatenate([np.ones(37), np.zeros(3)]).astype(np.float32)
+        m0 = all_binary_metrics(jnp.asarray(logits), jnp.asarray(y))
+        m1 = all_binary_metrics(
+            jnp.asarray(pad_logits), jnp.asarray(pad_y), jnp.asarray(w)
+        )
+        for k in m0:
+            assert abs(float(m0[k]) - float(m1[k])) < 1e-6, k
+
+    def test_weighted_auroc_ap_vs_sklearn(self, rng):
+        from sklearn.metrics import average_precision_score, roc_auc_score
+
+        logits, y = self._data(rng)
+        w = rng.random(len(y)).astype(np.float32) + 0.1
+        ours = float(binary_auroc(jnp.asarray(logits), jnp.asarray(y), jnp.asarray(w)))
+        theirs = roc_auc_score(y, logits, sample_weight=w)
+        assert abs(ours - theirs) < 1e-6
+        ours = float(
+            binary_average_precision(jnp.asarray(logits), jnp.asarray(y), jnp.asarray(w))
+        )
+        theirs = average_precision_score(y, logits, sample_weight=w)
+        assert abs(ours - theirs) < 1e-6
+
     def test_metrics_jittable(self, rng):
         logits, y = self._data(rng)
         f = jax.jit(all_binary_metrics)

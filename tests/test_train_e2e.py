@@ -57,9 +57,10 @@ def test_training_runs_and_writes_artifacts(trained):
     assert len(metrics["train_loss"]) == 3  # one per epoch
     assert "test_results" in metrics
     assert "test_auroc" in test_results
-    # checkpoints: one per epoch + best marker
+    # checkpoints: pruned to best (+ last for resume), like the reference's
+    # ModelCheckpoint(save_top_k=1)
     chkpts = list((run_dir / "chkpt").glob("*epoch=*"))
-    assert len(chkpts) == 3
+    assert 1 <= len(chkpts) <= 2
     assert (run_dir / "chkpt" / "best.json").exists()
 
 
@@ -76,7 +77,10 @@ def test_resume_from_checkpoint(trained, fixtures, tmp_path):
     """Lightning-style full resume: weights + opt state + epoch counter."""
     trainer, _, log_path = trained
     run_dir = next(d for d in log_path.iterdir() if d.is_dir() and d.name != "tensorboard")
-    ckpt = sorted((run_dir / "chkpt").glob("*epoch=01*"))[0]
+    # non-best checkpoints are pruned; resume from whatever epoch remains
+    ckpts = sorted((run_dir / "chkpt").glob("*epoch=*"))
+    ckpt = ckpts[-1]
+    resume_epoch = int(str(ckpt.name).split("epoch=")[1].split("-")[0])
 
     from intrepppid_tpu.data.ppi_oma import IntrepppidDataModule
     from intrepppid_tpu.models.factory import intrepppid_network
@@ -94,7 +98,7 @@ def test_resume_from_checkpoint(trained, fixtures, tmp_path):
     )
     t2 = Trainer(net, tmp_path / "chkpt", "resume-test", seed=8675309)
     t2.fit(dm, checkpoint_path=ckpt)
-    assert t2.start_epoch == 2  # resumed after epoch 1
+    assert t2.start_epoch == resume_epoch + 1
     assert t2.global_step > 0
 
 
