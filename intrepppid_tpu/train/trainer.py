@@ -346,7 +346,10 @@ class Trainer:
                 if self.steps_per_dispatch <= 1:
                     run_single(batch, true_b)
                     continue
-                if buf and buf[0][0]["p1"].shape != batch["p1"].shape:
+                if buf and (
+                    buf[0][0]["p1"].shape != batch["p1"].shape
+                    or buf[0][0].keys() != batch.keys()  # padded batches add "weight"
+                ):
                     # bucket boundary: flush partials through the (already
                     # compiled) single-step executable — a run_stack here
                     # would force a fresh K'-step compile per partial length
