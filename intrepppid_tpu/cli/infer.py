@@ -162,6 +162,7 @@ class Infer:
         from intrepppid_tpu.models.factory import intrepppid_network
 
         spp = SentencePieceTokenizer(spm_path)
+        spp.validate_vocab_size(vocab_size)
 
         def encode(seq: str) -> list:
             return IntrepppidDataset.static_encode(

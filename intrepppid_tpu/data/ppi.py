@@ -94,14 +94,22 @@ class RapppidDataModule2:
             eos=eos,
         )
         self.seed = seed
+        self.tokenizer = SentencePieceTokenizer(model_file)
+        self.tokenizer.validate_vocab_size(vocab_size)
         self.dataset_train = None
         self.dataset_val = None
         self.dataset_test = None
 
     def setup(self, stage=None) -> None:
-        self.dataset_train = RapppidDataset(split="train", **self.kwargs)
-        self.dataset_val = RapppidDataset(split="val", **self.kwargs)
-        self.dataset_test = RapppidDataset(split="test", **self.kwargs)
+        self.dataset_train = RapppidDataset(
+            split="train", tokenizer=self.tokenizer, **self.kwargs
+        )
+        self.dataset_val = RapppidDataset(
+            split="val", tokenizer=self.tokenizer, **self.kwargs
+        )
+        self.dataset_test = RapppidDataset(
+            split="test", tokenizer=self.tokenizer, **self.kwargs
+        )
 
     def _batches(self, ds, shuffle=False, epoch=0) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(ds))

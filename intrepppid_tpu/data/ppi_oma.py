@@ -252,6 +252,7 @@ class IntrepppidDataModule:
         self._eval_cache: Dict[str, list] = {}
 
         self.tokenizer = SentencePieceTokenizer(model_file)
+        self.tokenizer.validate_vocab_size(vocab_size)
         self.tokenizer.seed(seed)  # sp.set_random_generator_seed parity (:550)
 
         self.dataset_train: Optional[IntrepppidDataset] = None

@@ -157,6 +157,7 @@ class IntrepppidDataModule2:
         )
         self.seed = seed
         self.tokenizer = SentencePieceTokenizer(model_file)
+        self.tokenizer.validate_vocab_size(vocab_size)
         self.tokenizer.seed(seed)
         self.dataset_train = None
         self.dataset_val = None

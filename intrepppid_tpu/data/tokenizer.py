@@ -65,6 +65,21 @@ class SentencePieceTokenizer:
     def vocab_size(self) -> int:
         return self._py.vocab_size()
 
+    def validate_vocab_size(self, vocab_size: int) -> None:
+        """Fail loudly when the model has more pieces than the embedding table.
+
+        Token ids >= ``vocab_size`` would index past the embedding — the torch
+        reference crashes with a device-side assert there; on TPU the gather
+        would silently fill NaN (jnp.take mode='fill') and poison the run.
+        """
+        n = self.vocab_size()
+        if n > vocab_size:
+            raise ValueError(
+                f"sentencepiece model defines {n} pieces but vocab_size="
+                f"{vocab_size}: token ids would index past the embedding "
+                f"table. Pass vocab_size >= {n}."
+            )
+
     def bos_id(self) -> int:
         return self._py.bos_id
 

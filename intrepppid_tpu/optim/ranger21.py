@@ -25,10 +25,14 @@ Components (paper §2, matching the pinned implementation's defaults):
   and linear warmdown from ``warmdown_start_pct`` of training to
   ``warmdown_min_lr``.
 
-Exact step-by-step numerical identity with the pinned torch package cannot
-be validated in this environment (the package is not installable here);
-each component is unit-tested against its mathematical definition instead,
-and training parity is held distributionally (SURVEY.md §7 "hard parts").
+Step-exactness is validated against a hand-ported numpy oracle of the
+pinned package (tests/ranger21_oracle.py, ported from
+lessw2020/Ranger21@1a96777): tests/test_ranger21_oracle.py asserts
+update-by-update identity (rtol 1e-9 in float64) for both shipped variants
+across warmup, plateau, warmdown, lookahead syncs and both PNM parities —
+including the package's quirks (beta2-based PNM noise norm, the 0.45-rule
+for auto warmup length, warmdown overriding warmup, the no-op
+max_variance_ma, norm-loss eps placement, axis-1-only unit norms for 3-D).
 
 Scale caveat (property of the algorithm, reproduced faithfully): AGC ties
 gradient magnitude to ``||p||`` while stable weight decay divides the decay
@@ -51,11 +55,18 @@ import optax
 
 
 def _unit_norm(x: jnp.ndarray) -> jnp.ndarray:
-    """Ranger21's unit-wise norm: whole-tensor for ndim<=1, per-row (dim 0
-    kept) otherwise."""
+    """Ranger21's unit-wise norm (``Ranger21.unit_norm`` in the pinned repo,
+    lessw2020/Ranger21@1a96777): whole-tensor for ndim<=1, axis 1 only for
+    ndim 2 and 3 (linear layers), axes (1,2,3) for ndim 4 (conv kernels), all
+    trailing axes otherwise. Keepdims for ndim>1."""
     if x.ndim <= 1:
         return jnp.linalg.norm(x)
-    axes = tuple(range(1, x.ndim))
+    if x.ndim in (2, 3):
+        axes: tuple = (1,)
+    elif x.ndim == 4:
+        axes = (1, 2, 3)
+    else:
+        axes = tuple(range(1, x.ndim))
     return jnp.sqrt(jnp.sum(x * x, axis=axes, keepdims=True))
 
 
@@ -85,12 +96,22 @@ def ranger21_lr_schedule(
     warmdown_start_pct: float = 0.72,
     warmdown_min_lr: float = 3e-5,
 ):
-    """The warmup/warmdown LR curve as a standalone schedule (1-based step)."""
+    """The warmup/warmdown LR curve as a standalone schedule (1-based step).
+
+    Ported from the pinned package's ``warmup_dampening``/``get_warm_down``
+    (lessw2020/Ranger21@1a96777), including its quirks: auto warmup length is
+    ``ceil(2/(1-beta2))`` unless that exceeds 45% of training, in which case
+    ``int(0.22*total)``; warmdown starts at ``int(pct*total)`` (1-based step),
+    runs as ``(step+1-start)/(total-start+1)``, and *overrides* the
+    warmup-dampened lr rather than taking a min.
+    """
     if use_warmup:
         if num_warmup_iterations is None:
             beta_based = math.ceil(2.0 / (1.0 - beta2))
-            pct_based = math.ceil(0.22 * num_iterations)
-            warmup_iters = min(beta_based, pct_based)
+            if beta_based / num_iterations > 0.45:
+                warmup_iters = int(0.22 * num_iterations)
+            else:
+                warmup_iters = beta_based
         else:
             warmup_iters = num_warmup_iterations
         warmup_iters = max(warmup_iters, 1)
@@ -99,15 +120,20 @@ def ranger21_lr_schedule(
     warmdown_start = int(warmdown_start_pct * num_iterations)
 
     def lr_at(step):
-        step = jnp.asarray(step, jnp.float32)
-        lr = jnp.asarray(learning_rate, jnp.float32)
+        dtype = jnp.result_type(float)
+        step = jnp.asarray(step, dtype)
+        lr = jnp.asarray(learning_rate, dtype)
         if use_warmup and warmup_iters > 0:
             lr = lr * jnp.minimum(1.0, step / warmup_iters)
-        if warmdown_active and warmdown_start < num_iterations:
+        if warmdown_active:
             total_down = num_iterations - warmdown_start
-            frac = jnp.clip((step - warmdown_start) / total_down, 0.0, 1.0)
-            down_lr = learning_rate - frac * (learning_rate - warmdown_min_lr)
-            lr = jnp.where(step > warmdown_start, jnp.minimum(lr, down_lr), lr)
+            wd_iter = jnp.maximum(step + 1.0 - warmdown_start, 1.0)
+            pct = jnp.minimum(wd_iter / (total_down + 1), 1.0)
+            down_lr = jnp.maximum(
+                learning_rate - pct * (learning_rate - warmdown_min_lr),
+                warmdown_min_lr,
+            )
+            lr = jnp.where(step >= warmdown_start, down_lr, lr)
         return lr
 
     return lr_at
@@ -187,7 +213,7 @@ def ranger21(
         if params is None:
             raise ValueError("ranger21 requires params")
         step = state.count + 1
-        stepf = step.astype(jnp.float32)
+        stepf = step.astype(jnp.result_type(float))
         is_odd = (step % 2) == 1
 
         grads = updates
@@ -228,21 +254,27 @@ def ranger21(
         variance_normalized = jnp.maximum(variance_normalized, 1e-12)
 
         lr = lr_at(stepf)
-        noise_norm = math.sqrt((1.0 + pnm_momentum_factor) ** 2 + pnm_momentum_factor**2)
+        # Pinned-package quirk (lessw2020/Ranger21@1a96777 step(), pnm block):
+        # the PNM noise normalizer uses *beta2*, not the pnm momentum factor —
+        # sqrt((1+0.999)^2 + 0.999^2) ~ 2.2347 instead of sqrt(5). The factor
+        # still parameterizes the numerator. Replicated for step-exactness.
+        noise_norm = math.sqrt((1.0 + beta2) ** 2 + beta2**2)
 
         decay_fraction = weight_decay * lr / variance_normalized
         if stable_decay_max_fraction is not None:
             decay_fraction = jnp.minimum(decay_fraction, stable_decay_max_fraction)
 
         def param_update(p, g_ma, n_ma, v):
-            p32 = p.astype(jnp.float32)
+            p32 = p.astype(jnp.promote_types(p.dtype, jnp.float32))
             new_p = p32
             if weight_decay > 0.0:
                 new_p = new_p * (1.0 - decay_fraction)
             if normloss_active:
-                unorm = jnp.maximum(_unit_norm(new_p), 1e-12)
-                correction = 2.0 * normloss_factor * lr * (unorm - 1.0) / unorm
-                new_p = new_p * (1.0 - correction)
+                # correction = 2*factor*(1 - 1/(unit_norm(p)+eps)), applied as
+                # p *= (1 - lr*correction) — exact form of the pinned package.
+                unorm = _unit_norm(new_p)
+                correction = 2.0 * normloss_factor * (1.0 - 1.0 / (unorm + eps))
+                new_p = new_p * (1.0 - lr * correction)
             # current/previous EMA depending on parity
             m_cur = jnp.where(is_odd, g_ma, n_ma)
             m_prev = jnp.where(is_odd, n_ma, g_ma)
@@ -276,7 +308,7 @@ def ranger21(
             new_slow = None
 
         deltas = jax.tree_util.tree_map(
-            lambda np_, p: (np_ - p.astype(jnp.float32)).astype(p.dtype),
+            lambda np_, p: (np_ - p.astype(np_.dtype)).astype(p.dtype),
             new_params, params,
         )
         return deltas, Ranger21State(

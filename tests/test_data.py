@@ -244,3 +244,25 @@ class TestLegacyDatasets:
         b = next(iter(dm.train_batches()))
         assert set(b) == {"p1", "p2", "label"}
         assert b["p1"].shape == (8, 32)
+
+    def test_undersized_vocab_raises(self, fixtures):
+        """vocab_size smaller than the spm piece count must fail loudly at
+        construction: token ids past the embedding table would otherwise
+        become NaN embeddings (jnp.take fills OOB with NaN) — the torch
+        reference crashes with a device-side assert in the same situation."""
+        from intrepppid_tpu.data.ppi_oma_lazy import IntrepppidDataModule2
+
+        for cls in (IntrepppidDataModule, IntrepppidDataModule2, RapppidDataModule2):
+            with pytest.raises(ValueError, match="vocab_size"):
+                cls(
+                    batch_size=4,
+                    dataset_path=fixtures / "tiny.h5",
+                    c_type=3,
+                    trunc_len=32,
+                    workers=0,
+                    vocab_size=32,  # tiny_spm.model has 38 pieces
+                    model_file=fixtures / "tiny_spm.model",
+                    seed=0,
+                    sos=False,
+                    eos=False,
+                )
