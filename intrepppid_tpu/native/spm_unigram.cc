@@ -228,13 +228,17 @@ void BuildLattice(const Model& m, const char* text, int n,
 int ViterbiEncode(const Model& m, const char* text, int n, int* out, int max_out) {
   std::vector<std::vector<Edge>> incoming;
   BuildLattice(m, text, n, &incoming);
-  std::vector<float> best(n + 1, -1e30f);
+  // Path scores accumulate in double: with f32 accumulation, equal-score
+  // segmentations ("T"+"TT" vs "TT"+"T") resolve by rounding of the partial
+  // sums instead of by enumeration order, diverging from the f64 reference
+  // engines (HF tokenizers golden fixtures caught this).
+  std::vector<double> best(n + 1, -1e30);
   std::vector<int> back_start(n + 1, -1), back_piece(n + 1, -1);
-  best[0] = 0.0f;
+  best[0] = 0.0;
   for (int end = 1; end <= n; ++end) {
     for (const Edge& e : incoming[end]) {
-      if (best[e.start] <= -1e29f) continue;
-      float cand = best[e.start] + e.score;
+      if (best[e.start] <= -1e29) continue;
+      double cand = best[e.start] + static_cast<double>(e.score);
       if (cand > best[end]) {
         best[end] = cand;
         back_start[end] = e.start;
@@ -251,9 +255,9 @@ int ViterbiEncode(const Model& m, const char* text, int n, int* out, int max_out
   return count;
 }
 
-float LogSumExp(float a, float b) {
+double LogSumExp(double a, double b) {
   if (a < b) std::swap(a, b);
-  if (b <= -1e29f) return a;
+  if (b <= -1e29) return a;
   return a + std::log1p(std::exp(b - a));
 }
 
@@ -261,17 +265,17 @@ int SampleEncode(Model& m, const char* text, int n, float alpha, int* out,
                  int max_out) {
   std::vector<std::vector<Edge>> incoming;
   BuildLattice(m, text, n, &incoming);
-  std::vector<float> fwd(n + 1, -1e30f);
-  fwd[0] = 0.0f;
+  std::vector<double> fwd(n + 1, -1e30);
+  fwd[0] = 0.0;
   for (int end = 1; end <= n; ++end) {
-    float acc = -1e30f;
+    double acc = -1e30;
     for (const Edge& e : incoming[end]) {
-      if (fwd[e.start] <= -1e29f) continue;
-      acc = LogSumExp(acc, fwd[e.start] + alpha * e.score);
+      if (fwd[e.start] <= -1e29) continue;
+      acc = LogSumExp(acc, fwd[e.start] + static_cast<double>(alpha) * e.score);
     }
     fwd[end] = acc;
   }
-  if (n > 0 && fwd[n] <= -1e29f) return -1;
+  if (n > 0 && fwd[n] <= -1e29) return -1;
   std::vector<int> rev;
   rev.reserve(16);
   std::vector<double> weights;
@@ -280,13 +284,13 @@ int SampleEncode(Model& m, const char* text, int n, float alpha, int* out,
   while (pos > 0) {
     const auto& edges = incoming[pos];
     weights.clear();
-    float logz = -1e30f;
+    double logz = -1e30;
     for (const Edge& e : edges) {
-      if (fwd[e.start] <= -1e29f) {
+      if (fwd[e.start] <= -1e29) {
         weights.push_back(-1e30);
         continue;
       }
-      float lw = fwd[e.start] + alpha * e.score;
+      double lw = fwd[e.start] + static_cast<double>(alpha) * e.score;
       weights.push_back(lw);
       logz = LogSumExp(logz, lw);
     }
