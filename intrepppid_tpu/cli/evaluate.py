@@ -36,6 +36,7 @@ class Eval:
         beta_classifier: Optional[float] = None,
         seed: int = 8675309,
         precision: str = "bf16",
+        n_data_parallel: Optional[int] = None,
     ):
         """Evaluate a checkpoint on a dataset split; prints and optionally
         writes the metric dict (AUROC/AP/MCC/precision/recall + losses).
@@ -73,7 +74,12 @@ class Eval:
         from intrepppid_tpu.data.ppi_oma import IntrepppidDataModule
         from intrepppid_tpu.models.factory import intrepppid_network
         from intrepppid_tpu.models.triplet import step as triplet_step
-        from intrepppid_tpu.parallel import pad_batch_to_multiple
+        from intrepppid_tpu.parallel import (
+            batch_sharding,
+            make_mesh,
+            pad_batch_to_multiple,
+            replicated_sharding,
+        )
         from intrepppid_tpu.train.checkpoint import load_params_from_checkpoint
         from intrepppid_tpu.train.trainer import EpochAccumulator
 
@@ -110,8 +116,19 @@ class Eval:
                 "training run. Pass --use_projection true to match."
             )
 
+        # data-parallel eval over a mesh (same scheme as Trainer): params
+        # replicated, batch sharded on the batch dim, rows padded to the
+        # device count with weight-0 rows the step masks out.
+        mesh = make_mesh(n_data=n_data_parallel)
+        n_devices = int(np.prod(mesh.devices.shape))
+        rep = replicated_sharding(mesh)
+        data_sh = batch_sharding(mesh)
+        params = jax.device_put(params, rep)
+
         eval_step = jax.jit(
-            lambda p, b: triplet_step(p, net.cfg, b, jax.random.PRNGKey(0), False)[1]
+            lambda p, b: triplet_step(p, net.cfg, b, jax.random.PRNGKey(0), False)[1],
+            in_shardings=(rep, data_sh),
+            out_shardings=rep,
         )
         batches = {
             "train": lambda: dm.train_batches(0),
@@ -120,7 +137,8 @@ class Eval:
         }[split]()
         acc = EpochAccumulator()
         for batch in batches:
-            batch, true_b = pad_batch_to_multiple(batch, 1)
+            batch, true_b = pad_batch_to_multiple(batch, n_devices)
+            batch = {k: jax.device_put(v, data_sh) for k, v in batch.items()}
             aux = eval_step(params, batch)
             acc.add(aux, true_b)
         metrics = {f"{split}_{k}": float(v) for k, v in acc.means().items()}

@@ -27,6 +27,7 @@ from __future__ import annotations
 import csv
 import gzip
 import json
+import shutil
 import sqlite3
 import tempfile
 import time
@@ -119,6 +120,12 @@ class _KVStore:
         ).fetchone()
         return row[0] if row else None
 
+    def close(self) -> None:
+        if self._env is not None:
+            self._env.close()
+        if self._sqlite is not None:
+            self._sqlite.close()
+
 
 def _load_params(weights_path, net):
     """Orbax checkpoint dir, or reference torch .ckpt (auto-converted)."""
@@ -172,9 +179,12 @@ class Infer:
         uniprot = _UniprotFetcher() if get_from_uniprot else None
 
         # ------------------------------------------------ sequence library
+        auto_db = False
+        store = None
         if low_memory:
             if db_path is None:
                 db_path = tempfile.mkdtemp(prefix="intrepppid_")
+                auto_db = True
             store = _KVStore(db_path)
             if not dont_populate_db:
                 print("Building sequence db...")
@@ -247,34 +257,52 @@ class Infer:
             rows_buf.clear()
 
         n_done = 0
-        with open(out_path, "w", newline="") as f_out:
-            writer = csv.DictWriter(f_out, fieldnames=["itx_id", "probability"])
-            with opener(str(interactions_path), mode) as f_in:
-                reader = csv.DictReader(
-                    f_in, fieldnames=["itx_id", "id_a", "id_b"]
-                )
-                buf = []
-                for row in reader:
-                    embed_a = get_embed(row["id_a"])
-                    embed_b = get_embed(row["id_b"])
-                    if embed_a is None or embed_b is None:
-                        missing = [
-                            rid
-                            for rid, e in (
-                                (row["id_a"], embed_a),
-                                (row["id_b"], embed_b),
-                            )
-                            if e is None
-                        ]
-                        print(
-                            f"Can't compute pair id: {row['itx_id']} "
-                            f"(missing sequences: {', '.join(missing)})"
-                        )
-                        continue
-                    buf.append((row["itx_id"], embed_a, embed_b))
-                    n_done += 1
-                    if len(buf) >= batch_size:
-                        flush(buf, writer)
-                flush(buf, writer)
+        try:
+            n_done = _score_pairs(
+                interactions_path, out_path, get_embed, flush, batch_size,
+                opener, mode,
+            )
+        finally:
+            # auto-created low-memory DBs are scratch space: remove like the
+            # reference does (`intrepppid/cli/infer.py:229-231`)
+            if store is not None:
+                store.close()
+            if auto_db:
+                shutil.rmtree(db_path, ignore_errors=True)
         print(f"Scored {n_done} pairs -> {out_path}")
         return n_done
+
+
+def _score_pairs(interactions_path, out_path, get_embed, flush, batch_size,
+             opener, mode) -> int:
+    n_done = 0
+    with open(out_path, "w", newline="") as f_out:
+        writer = csv.DictWriter(f_out, fieldnames=["itx_id", "probability"])
+        with opener(str(interactions_path), mode) as f_in:
+            reader = csv.DictReader(
+                f_in, fieldnames=["itx_id", "id_a", "id_b"]
+            )
+            buf = []
+            for row in reader:
+                embed_a = get_embed(row["id_a"])
+                embed_b = get_embed(row["id_b"])
+                if embed_a is None or embed_b is None:
+                    missing = [
+                        rid
+                        for rid, e in (
+                            (row["id_a"], embed_a),
+                            (row["id_b"], embed_b),
+                        )
+                        if e is None
+                    ]
+                    print(
+                        f"Can't compute pair id: {row['itx_id']} "
+                        f"(missing sequences: {', '.join(missing)})"
+                    )
+                    continue
+                buf.append((row["itx_id"], embed_a, embed_b))
+                n_done += 1
+                if len(buf) >= batch_size:
+                    flush(buf, writer)
+            flush(buf, writer)
+    return n_done

@@ -43,7 +43,7 @@ class Train:
         optimizer_type: str = "ranger21",
         precision: str = "bf16",
         n_data_parallel: Optional[int] = None,
-        steps_per_dispatch: int = 1,
+        steps_per_dispatch: Optional[int] = None,
     ):
         """Train INTREPPPID end-to-end: AWD-LSTM encoder + MLP classifier
         with the orthologue triplet task, on TPU via JAX."""

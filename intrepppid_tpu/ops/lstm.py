@@ -219,8 +219,31 @@ def _bilstm_pallas(layers, x, max_len, compute_dtype):
     H = layers[0]["fwd"]["w_hh"].shape[-1]
     grouped0 = layers[0]["fwd"]["w_hh"].ndim == 3
     G0 = layers[0]["fwd"]["w_hh"].shape[0] if grouped0 else 1
+    B_orig, pad_rows = B, 0
+    lengths_vec = jnp.broadcast_to(jnp.asarray(max_len, jnp.int32), (B,))
     tiles = pick_tiles(B, T, H, G0)
+    if tiles is None and B % max(G0, 1) == 0:
+        # Untileable batch (e.g. a tail batch): pad each weight-group's rows
+        # to the next multiple of 8 instead of silently dropping to the ~3x
+        # slower scan path with a fresh compile at that shape. Padded rows
+        # carry length 0, so their state stays frozen at zero and they are
+        # sliced off the outputs below.
+        Bg0 = B // G0
+        Bg_pad = -(-Bg0 // 8) * 8
+        B_pad = Bg_pad * G0
+        tiles = pick_tiles(B_pad, T, H, G0)
+        if tiles is not None:
+            pad_rows = Bg_pad - Bg0
+            x = jnp.pad(
+                x.reshape(G0, Bg0, T, -1),
+                ((0, 0), (0, pad_rows), (0, 0), (0, 0)),
+            ).reshape(B_pad, T, -1)
+            lengths_vec = jnp.pad(
+                lengths_vec.reshape(G0, Bg0), ((0, 0), (0, pad_rows))
+            ).reshape(B_pad)
+            B = B_pad
     if tiles is None:
+        _warn_scan_fallback(B_orig, T, H, G0)
         return None
     Bt, C, Tp = tiles
 
@@ -233,9 +256,7 @@ def _bilstm_pallas(layers, x, max_len, compute_dtype):
     # for both directions (the reverse direction stays frozen at zero until
     # it reaches position max_len-1). Positions beyond the original T are
     # invalid automatically (max_len <= T).
-    lengths = jnp.broadcast_to(
-        jnp.asarray(max_len, jnp.int32), (B,)
-    ).reshape(B, 1)
+    lengths = lengths_vec.reshape(B, 1)
 
     parts = (x_tm,)
     hns, cns = [], []
@@ -257,4 +278,40 @@ def _bilstm_pallas(layers, x, max_len, compute_dtype):
         hns.append(hn)
         cns.append(cn)
     y = jnp.transpose(jnp.concatenate(parts, axis=-1)[:T], (1, 0, 2))
-    return y, jnp.concatenate(hns, axis=0), jnp.concatenate(cns, axis=0)
+    hn_all = jnp.concatenate(hns, axis=0)
+    cn_all = jnp.concatenate(cns, axis=0)
+    if pad_rows:
+        Bg_pad = B // G0
+        Bg0 = B_orig // G0
+
+        def unpad(a, axis):
+            shape = a.shape
+            g = a.reshape(shape[:axis] + (G0, Bg_pad) + shape[axis + 1:])
+            sl = [slice(None)] * g.ndim
+            sl[axis + 1] = slice(0, Bg0)
+            return g[tuple(sl)].reshape(
+                shape[:axis] + (B_orig,) + shape[axis + 1:]
+            )
+
+        y = unpad(y, 0)
+        hn_all = unpad(hn_all, 1)
+        cn_all = unpad(cn_all, 1)
+    return y, hn_all, cn_all
+
+
+_scan_fallback_warned = False
+
+
+def _warn_scan_fallback(B: int, T: int, H: int, G: int) -> None:
+    global _scan_fallback_warned
+    if _scan_fallback_warned:
+        return
+    _scan_fallback_warned = True
+    import warnings
+
+    warnings.warn(
+        f"bilstm batch (B={B}, T={T}, H={H}, groups={G}) is not tileable for "
+        "the Pallas kernel even after row padding; falling back to the ~3x "
+        "slower scan path (fresh XLA compile at this shape).",
+        stacklevel=3,
+    )

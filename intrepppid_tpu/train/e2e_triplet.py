@@ -63,7 +63,7 @@ def train_e2e_rnn_triplet(
     seed: Optional[int] = None,
     precision: str = "bf16",
     n_data_parallel: Optional[int] = None,
-    steps_per_dispatch: int = 1,
+    steps_per_dispatch: Optional[int] = None,
 ):
     log_path = Path(log_path)
     hyperparams_path = Path(hyperparams_path)
