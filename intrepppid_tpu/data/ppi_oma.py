@@ -325,6 +325,7 @@ class IntrepppidDataModule:
             enable_sampling=sampling,
             sos=self.sos,
             eos=self.eos,
+            workers=self.workers,
         )
         # bucket on true token lengths (chars are only an upper bound)
         longest = int(np.max(np.sum(toks != 0, axis=1))) if toks.size else 1

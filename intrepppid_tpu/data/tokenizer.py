@@ -128,11 +128,18 @@ class SentencePieceTokenizer:
         alpha: float = 0.1,
         sos: bool = False,
         eos: bool = False,
+        workers: int = 0,
     ) -> np.ndarray:
         """Encode many sequences into a zero-padded ``(n, trunc_len)`` int32
         array: char-truncate to ``trunc_len`` -> encode -> optional BOS/EOS ->
         token-truncate+pad — the reference's ``static_encode`` semantics
         (`intrepppid/data/ppi_oma.py:347-392`) vectorised in native code.
+
+        ``workers`` > 1 shards the batch across that many C++ threads (the
+        reference's ``DataLoader(num_workers=...)`` equivalent,
+        `intrepppid/data/ppi_oma.py:611-620`). Sampling draws one RNG stream
+        per sequence, derived from (seed, running sequence counter), so
+        results are identical for any thread count.
         """
         n = len(texts)
         out = np.zeros((n, trunc_len), np.int32)
@@ -152,6 +159,7 @@ class SentencePieceTokenizer:
                 ctypes.c_float(alpha),
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 trunc_len,
+                max(int(workers), 1),
             )
             if rc == 0:
                 return out

@@ -93,6 +93,7 @@ def load_spm_library() -> Optional[ctypes.CDLL]:
             ctypes.c_float,
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int,
+            ctypes.c_int,
         ]
         _lib = lib
         return _lib

@@ -24,7 +24,9 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <atomic>
 #include <random>
+#include <thread>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -102,6 +104,11 @@ struct Model {
   int max_piece_len = 1;
   float unk_score = -kUnkPenalty;
   std::mt19937_64 rng{std::random_device{}()};
+  // Deterministic parallel sampling: every sequence gets its own RNG stream
+  // derived from (base_seed, running sequence counter), so batch results are
+  // identical for any thread count.
+  uint64_t base_seed = 0x853c49e6748fea9bULL;
+  uint64_t seq_counter = 0;
 };
 
 bool ParsePiece(Cursor c, Piece* out) {
@@ -261,8 +268,15 @@ double LogSumExp(double a, double b) {
   return a + std::log1p(std::exp(b - a));
 }
 
-int SampleEncode(Model& m, const char* text, int n, float alpha, int* out,
-                 int max_out) {
+uint64_t SplitMix64(uint64_t x) {
+  x += 0x9e3779b97f4a7c15ULL;
+  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ULL;
+  x = (x ^ (x >> 27)) * 0x94d049bb133111ebULL;
+  return x ^ (x >> 31);
+}
+
+int SampleEncode(const Model& m, const char* text, int n, float alpha,
+                 std::mt19937_64& rng, int* out, int max_out) {
   std::vector<std::vector<Edge>> incoming;
   BuildLattice(m, text, n, &incoming);
   std::vector<double> fwd(n + 1, -1e30);
@@ -294,7 +308,7 @@ int SampleEncode(Model& m, const char* text, int n, float alpha, int* out,
       weights.push_back(lw);
       logz = LogSumExp(logz, lw);
     }
-    double r = uni(m.rng);
+    double r = uni(rng);
     double cum = 0.0;
     int chosen = -1;
     for (size_t k = 0; k < edges.size(); ++k) {
@@ -374,7 +388,10 @@ void* spm_load(const char* path) {
 void spm_free(void* h) { delete static_cast<Model*>(h); }
 
 void spm_seed(void* h, uint64_t seed) {
-  static_cast<Model*>(h)->rng.seed(seed);
+  Model* m = static_cast<Model*>(h);
+  m->rng.seed(seed);
+  m->base_seed = seed;
+  m->seq_counter = 0;
 }
 
 int spm_vocab_size(void* h) {
@@ -392,7 +409,8 @@ int spm_encode(void* h, const char* text, int text_len, int sampling,
                float alpha, int* out, int max_out) {
   Model* m = static_cast<Model*>(h);
   if (text_len == 0) return 0;
-  if (sampling) return SampleEncode(*m, text, text_len, alpha, out, max_out);
+  if (sampling)
+    return SampleEncode(*m, text, text_len, alpha, m->rng, out, max_out);
   return ViterbiEncode(*m, text, text_len, out, max_out);
 }
 
@@ -404,25 +422,55 @@ int spm_encode(void* h, const char* text, int text_len, int sampling,
 // the caller, matching the reference's seq[:trunc_len]).
 int spm_encode_batch(void* h, const char* texts, const int64_t* offsets,
                      int n, int sampling, float alpha, int32_t* out,
-                     int trunc_len) {
+                     int trunc_len, int n_threads) {
   Model* m = static_cast<Model*>(h);
-  std::vector<int> tmp;
-  for (int i = 0; i < n; ++i) {
-    const char* s = texts + offsets[i];
-    int len = static_cast<int>(offsets[i + 1] - offsets[i]);
-    tmp.assign(len + 1, 0);
-    int cnt = 0;
-    if (len > 0) {
-      cnt = sampling ? SampleEncode(*m, s, len, alpha, tmp.data(), len + 1)
-                     : ViterbiEncode(*m, s, len, tmp.data(), len + 1);
-      if (cnt < 0) return -(i + 1);
+  const uint64_t stream_base = m->seq_counter;
+  m->seq_counter += static_cast<uint64_t>(n);
+  std::atomic<int> failed{0};
+
+  auto work = [&](int lo, int hi) {
+    std::vector<int> tmp;
+    for (int i = lo; i < hi; ++i) {
+      const char* s = texts + offsets[i];
+      int len = static_cast<int>(offsets[i + 1] - offsets[i]);
+      tmp.assign(len + 1, 0);
+      int cnt = 0;
+      if (len > 0) {
+        if (sampling) {
+          std::mt19937_64 rng(
+              SplitMix64(m->base_seed ^ SplitMix64(stream_base + i)));
+          cnt = SampleEncode(*m, s, len, alpha, rng, tmp.data(), len + 1);
+        } else {
+          cnt = ViterbiEncode(*m, s, len, tmp.data(), len + 1);
+        }
+        if (cnt < 0) {
+          failed.store(i + 1, std::memory_order_relaxed);
+          return;
+        }
+      }
+      int32_t* row = out + static_cast<int64_t>(i) * trunc_len;
+      int keep = cnt < trunc_len ? cnt : trunc_len;
+      for (int k = 0; k < keep; ++k) row[k] = tmp[k];
+      for (int k = keep; k < trunc_len; ++k) row[k] = 0;
     }
-    int32_t* row = out + static_cast<int64_t>(i) * trunc_len;
-    int keep = cnt < trunc_len ? cnt : trunc_len;
-    for (int k = 0; k < keep; ++k) row[k] = tmp[k];
-    for (int k = keep; k < trunc_len; ++k) row[k] = 0;
+  };
+
+  if (n_threads <= 1 || n < 2) {
+    work(0, n);
+  } else {
+    int k = n_threads < n ? n_threads : n;
+    std::vector<std::thread> pool;
+    pool.reserve(k);
+    int per = (n + k - 1) / k;
+    for (int t = 0; t < k; ++t) {
+      int lo = t * per;
+      int hi = lo + per < n ? lo + per : n;
+      if (lo >= hi) break;
+      pool.emplace_back(work, lo, hi);
+    }
+    for (auto& th : pool) th.join();
   }
-  return 0;
+  return failed.load() ? -failed.load() : 0;
 }
 
 }  // extern "C"
