@@ -115,16 +115,115 @@ def main():
     dt = best_dt
 
     pairs_per_s = BATCH * n_steps / dt
-    print(
-        json.dumps(
-            {
-                "metric": "train seq-pairs/sec/chip (batch 80, trunc_len 1500, bf16, ranger21_xx)",
-                "value": round(pairs_per_s, 2),
-                "unit": "seq-pairs/s",
-                "vs_baseline": round(pairs_per_s / BASELINE_SEQ_PAIRS_PER_S, 2),
-            }
+
+    epoch_pairs_per_s, bottleneck = epoch_bench(step_pairs_per_s=pairs_per_s)
+
+    result = {
+        "metric": "train seq-pairs/sec/chip (batch 80, trunc_len 1500, bf16, ranger21_xx)",
+        "value": round(pairs_per_s, 2),
+        "unit": "seq-pairs/s",
+        "vs_baseline": round(pairs_per_s / BASELINE_SEQ_PAIRS_PER_S, 2),
+    }
+    if epoch_pairs_per_s is not None:
+        result["epoch_level"] = round(epoch_pairs_per_s, 2)
+        result["epoch_vs_baseline"] = round(
+            epoch_pairs_per_s / BASELINE_SEQ_PAIRS_PER_S, 2
         )
-    )
+        result["bottleneck"] = bottleneck
+    print(json.dumps(result))
+
+
+def epoch_bench(step_pairs_per_s: float):
+    """End-to-end Trainer.fit epoch on a realistic synthetic HDF5: real input
+    pipeline (threaded C++ tokenization with subword sampling, length
+    truncation, prefetch, steps_per_dispatch batching, checkpointing).
+    Reports the second (compile-warm) epoch's seq-pairs/s.
+    """
+    import os
+    import shutil
+    import tempfile
+    import traceback
+    from pathlib import Path
+
+    repo = Path(__file__).parent
+    h5 = repo / ".bench_cache" / "bench.h5"
+    spm = repo / "tests" / "fixtures" / "golden_spm.model"
+    try:
+        if not h5.exists():
+            import subprocess
+            import sys as _sys
+
+            subprocess.run(
+                [_sys.executable, str(repo / "tools" / "make_bench_dataset.py"), str(h5)],
+                check=True,
+            )
+        if not spm.exists():
+            import subprocess
+            import sys as _sys
+
+            subprocess.run(
+                [_sys.executable, str(repo / "tests" / "fixtures" / "make_golden_spm.py")],
+                check=True,
+            )
+
+        import jax.numpy as jnp
+
+        from intrepppid_tpu.data.ppi_oma import IntrepppidDataModule
+        from intrepppid_tpu.models.factory import intrepppid_network
+        from intrepppid_tpu.train.trainer import Trainer
+        from intrepppid_tpu.utils.dictlogger import DictLogger
+
+        dm = IntrepppidDataModule(
+            batch_size=BATCH,
+            dataset_path=h5,
+            c_type=3,
+            trunc_len=TRUNC,
+            workers=os.cpu_count() or 1,
+            vocab_size=258,
+            model_file=spm,
+            seed=8675309,
+            sos=False,
+            eos=False,
+            negative_omid=True,
+            # one bucket: a single compiled step shape (the tunnelled compile
+            # helper makes per-bucket compiles expensive; real deployments
+            # can widen this)
+            bucket_lengths=[TRUNC],
+        )
+        dm.setup()
+
+        net = intrepppid_network(
+            steps_per_epoch=dm.steps_per_epoch,
+            vocab_size=258,
+            num_epochs=2,
+            optimizer_type="ranger21_xx",
+            compute_dtype=jnp.bfloat16,
+        )
+        logger = DictLogger()
+        tmp = tempfile.mkdtemp(prefix="bench_ckpt_")
+        try:
+            trainer = Trainer(
+                net,
+                tmp,
+                "bench",
+                seed=8675309,
+                loggers=[logger],
+                swa=None,
+                log_every_n_steps=10,
+            )
+            trainer.fit(dm)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        rates = [e["value"] for e in logger.metrics.get("seq_pairs_per_s", [])]
+        if not rates:
+            return None, None
+        warm = rates[-1]  # epoch 2: compile-free
+        # bottleneck attribution: compare against the device-only step rate
+        bottleneck = "host" if warm < 0.75 * step_pairs_per_s else "device"
+        return warm, bottleneck
+    except Exception:
+        traceback.print_exc()
+        return None, None
 
 
 if __name__ == "__main__":

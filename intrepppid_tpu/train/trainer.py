@@ -69,22 +69,57 @@ METRIC_KEYS = (
 )
 
 
+def materialize_scalar_dicts(dicts):
+    """Convert a list of same-keyed ``{name: jax scalar | float}`` dicts to
+    plain floats with ONE device transfer per key instead of one blocking
+    ``float()`` pull per value.
+
+    Per-step metric pulls serialize the host against the device — through a
+    tunnelled runtime each pull costs a full round trip, and they were the
+    dominant epoch cost. Deferring keeps the dispatch pipeline fully async.
+    """
+    if not dicts:
+        return []
+    keys = list(dicts[0].keys())
+    cols: Dict[str, np.ndarray] = {}
+    for k in keys:
+        vals = [d[k] for d in dicts]
+        if any(isinstance(v, jax.Array) for v in vals):
+            cols[k] = np.asarray(
+                jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])
+            )
+        else:
+            cols[k] = np.asarray(vals, np.float32)
+    return [
+        {k: float(cols[k][i]) for k in keys} for i in range(len(dicts))
+    ]
+
+
 class EpochAccumulator:
-    """Batch-size-weighted mean of per-batch metric values."""
+    """Batch-size-weighted mean of per-batch metric values.
+
+    ``add`` keeps the device scalars un-materialized; ``means`` pulls them
+    in one batched transfer at epoch end (no per-step device syncs).
+    """
 
     def __init__(self):
-        self.sums: Dict[str, float] = {}
+        self.items: list = []
         self.weight = 0.0
 
     def add(self, aux: Dict[str, Any], batch_size: int) -> None:
-        for k, v in aux.items():
-            self.sums[k] = self.sums.get(k, 0.0) + float(v) * batch_size
+        self.items.append((dict(aux), batch_size))
         self.weight += batch_size
 
     def means(self) -> Dict[str, float]:
-        if self.weight == 0:
+        if not self.items:
             return {}
-        return {k: s / self.weight for k, s in self.sums.items()}
+        mats = materialize_scalar_dicts([a for a, _ in self.items])
+        w = np.asarray([b for _, b in self.items], np.float64)
+        out: Dict[str, float] = {}
+        for k in mats[0]:
+            v = np.asarray([m[k] for m in mats], np.float64)
+            out[k] = float((v * w).sum() / w.sum())
+        return out
 
 
 class Trainer:
@@ -309,18 +344,25 @@ class Trainer:
                 sharding=data_sh,
             )
 
+            pending_step_logs: list = []
+
             def log_step(aux, true_b):
                 self.global_step += 1
                 acc.add(aux, true_b)
                 if self.global_step % self.log_every_n_steps == 0:
-                    self._log(
-                        {
-                            "train_loss_step": float(aux["loss"]),
-                            "train_classifier_loss_step": float(aux["classifier_loss"]),
-                            "train_triplet_loss_step": float(aux["triplet_loss"]),
-                            "lr": float(self.lr_schedule(self.global_step)) * lr_scale,
-                        },
-                        self.global_step,
+                    # deferred: materialized in one batched transfer at epoch
+                    # end — a float() here would sync the dispatch pipeline
+                    pending_step_logs.append(
+                        (
+                            {
+                                "train_loss_step": aux["loss"],
+                                "train_classifier_loss_step": aux["classifier_loss"],
+                                "train_triplet_loss_step": aux["triplet_loss"],
+                                "lr": float(self.lr_schedule(self.global_step))
+                                * lr_scale,
+                            },
+                            self.global_step,
+                        )
                     )
 
             def run_single(batch, true_b):
@@ -373,8 +415,16 @@ class Trainer:
                     buf = []
             for item in buf:
                 run_single(*item)
-            epoch_time = time.perf_counter() - t0
+            # one sync to materialize the epoch: flush deferred step logs,
+            # then the weighted epoch means (this is also where the epoch
+            # clock stops — all dispatched work must be done to produce them)
+            for mats, step in zip(
+                materialize_scalar_dicts([m for m, _ in pending_step_logs]),
+                [s for _, s in pending_step_logs],
+            ):
+                self._log(mats, step)
             train_metrics = {f"train_{k}": v for k, v in acc.means().items()}
+            epoch_time = time.perf_counter() - t0
             train_metrics["epoch_time_s"] = epoch_time
             train_metrics["seq_pairs_per_s"] = n_samples / max(epoch_time, 1e-9)
             self._log(train_metrics, self.global_step)
