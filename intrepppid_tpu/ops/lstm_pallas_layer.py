@@ -19,9 +19,14 @@ Three layout generations were measured on v5e at the flagship shape
 Structure:
 
 * grid = (batch tiles, time chunks), time innermost; h/c state lives in
-  VMEM scratch across each tile's time sweep. The in-kernel time unroll is
-  pinned to C=1 — larger unrolls blow up Mosaic compile time (~8 min at
-  C=8 vs ~2 s) and the automatic block pipeline already overlaps DMA.
+  VMEM scratch across each tile's time sweep. Each grid step runs C cell
+  steps through an in-kernel ``fori_loop`` (a Python unroll at C=8 blew
+  Mosaic compile time to ~8 min; the loop keeps it flat) — C=1 measured
+  ~5 us/grid-step of fixed cost against ~1-2 us of real work, so chunking
+  is the main throughput lever. All time streams (xg in, hs/cs out, dy/dxg)
+  are ``compute_dtype`` — bf16 halves the dominant HBM traffic AND the VMEM
+  block footprint, which is what lets larger C fit; h/c state and all gate
+  math stay f32 in scratch.
 * per-call weight-dropped recurrent weights (G groups, group-major batch):
   when a tile sits inside one group (Bt <= Bg) its group's weights are
   *streamed* per tile through the BlockSpec index map (so VMEM holds one
@@ -51,65 +56,78 @@ from intrepppid_tpu.ops.lstm_pallas import _cell, _interpret
 _VMEM_BUDGET = 13 * 1024 * 1024
 
 
-def pick_tiles(B: int, T: int, H: int, G: int) -> Optional[Tuple[int, int, int]]:
-    """Choose (Bt, C, Tp): batch tile, time chunk (pinned 1), padded T.
+def pick_tiles(
+    B: int, T: int, H: int, G: int, compute_dtype=jnp.float32
+) -> Optional[Tuple[int, int, int]]:
+    """Choose (Bt, C, Tp): batch tile, time chunk, C-padded T.
 
     Bt must divide B, be a multiple of 8 (second-minor block dim), and
-    either divide the group size B/G or be a multiple of it. Returns None
-    if B is untileable (caller falls back to the scan path).
+    either divide the group size B/G or be a multiple of it. C > 1 runs C
+    cell steps per grid iteration (an in-kernel ``fori_loop``). Measured on
+    v5e at the flagship shape (B=400, T=1500, H=64, G=5, bf16): the sweep is
+    VPU-bound on the cell math, so fewer-but-fatter grid steps do NOT win —
+    (Bt=80, C=16; 470 steps) ran 10% slower than (Bt=400, C=1; 1500 steps).
+    The heuristic is therefore: largest Bt that fits VMEM at C=1 (biggest
+    batched matmul + widest VPU rows). The C machinery stays for shapes
+    where a batch doesn't fill the VPU (callers can tune via this function).
+    Returns None if B is untileable (caller falls back to the scan path).
     """
+    sb = 2 if compute_dtype == jnp.bfloat16 else 4
     Hp = ((H + 127) // 128) * 128
     H4 = 4 * H
     Bg = B // G if G > 0 else B
 
-    def vmem(bt: int) -> int:
-        c = 1
+    def vmem(bt: int, c: int) -> int:
         gpt = bt // Bg if bt > Bg else 1
-        w_groups = G if bt > Bg else 1  # streamed per-tile weights otherwise
-        per_buffer = 4 * c * bt * H4 * 4 + 6 * c * bt * Hp * 4
-        fixed = (
-            12 * bt * Hp * 4                      # dhn/dcn blocks + state scratch
-            + 3 * 2 * gpt * H * H4 * 4            # dw scratch + dbl-buffered out
-            + 2 * 2 * 2 * w_groups * H * H4 * 2   # w + wT blocks (bf16, dbl)
+        w_groups = gpt  # weights streamed per tile: exactly the tile's groups
+        # double-buffered grid-mapped streams (backward pass is the peak:
+        # xg in + dxg out + hp/cp/dy in)
+        streams = 2 * (
+            2 * c * bt * H4 * sb
+            + 2 * c * bt * H4 * sb
+            + 6 * c * bt * Hp * sb
         )
-        return 2 * per_buffer + fixed
+        fixed = (
+            8 * bt * Hp * 4                       # dhn/dcn blocks (dbl)
+            + 4 * bt * Hp * 4                     # h/c state scratch
+            + 3 * 2 * gpt * H * H4 * 4            # dw scratch + dbl-buffered out
+            + 2 * 2 * 2 * w_groups * H * H4 * sb  # w + wT blocks (dbl)
+        )
+        return streams + fixed
 
-    candidates = [
-        bt
-        for bt in range(8, min(B, 1024) + 1, 8)
-        if B % bt == 0 and (Bg % bt == 0 or bt % Bg == 0)
-    ]
-    for bt in sorted(candidates, reverse=True):
-        if vmem(bt) <= _VMEM_BUDGET:
+    candidates = sorted(
+        [
+            bt
+            for bt in range(8, min(B, 1024) + 1, 8)
+            if B % bt == 0 and (Bg % bt == 0 or bt % Bg == 0)
+        ],
+        reverse=True,
+    )
+    for bt in candidates:
+        if vmem(bt, 1) <= _VMEM_BUDGET:
             return bt, 1, T
     return None
 
 
-def _recur(h, w_ref, d: int, Bt: int, Bg: int, tile_b, compute_dtype):
-    """h (Bt,H) @ recurrent weights -> (Bt,4H) f32.
+def _recur2(h2, w_ref, Bt: int, compute_dtype):
+    """Both directions' recurrent matmul as ONE batched dot_general.
 
-    ``w_ref`` is either a per-tile streamed block (2, 1, H, 4H) — the tile's
-    own group — or the full stack (2, G, H, 4H) when tiles span groups.
+    ``h2`` (2, Bt, H) f32; ``w_ref`` block (2, GPT, H, 4H) — the tile's own
+    groups, streamed by the BlockSpec index map. Per-group small matmuls
+    issued sequentially were the measured critical path of the sweep (G=5
+    meant 10 MXU issues per fwd grid step); folding direction x group into
+    the dot_general batch dimension issues once.
     """
-    hb = h.astype(compute_dtype)
-    streamed = w_ref.shape[1] == 1
-    if streamed or Bt <= Bg:
-        g = 0 if streamed else (tile_b * Bt) // Bg
-        return jax.lax.dot_general(
-            hb, w_ref[d, g], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    per_tile_groups = Bt // Bg
-    parts = []
-    for j in range(per_tile_groups):
-        g = tile_b * per_tile_groups + j
-        parts.append(
-            jax.lax.dot_general(
-                hb[j * Bg : (j + 1) * Bg], w_ref[d, g],
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            )
-        )
-    return jnp.concatenate(parts, axis=0)
+    GPT = w_ref.shape[1]
+    H, H4 = w_ref.shape[2], w_ref.shape[3]
+    Bgr = Bt // GPT
+    hb = h2.astype(compute_dtype).reshape(2 * GPT, Bgr, H)
+    w = w_ref[...].reshape(2 * GPT, H, H4)
+    out = jax.lax.dot_general(
+        hb, w, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(2, Bt, H4)
 
 
 # ------------------------------------------------------------------ forward
@@ -121,59 +139,67 @@ def _fwd_kernel(
 ):
     if with_states:
         (hsf_ref, hsb_ref, csf_ref, csb_ref, hn_ref, cn_ref,
-         hf_scr, cf_scr, hb_scr, cb_scr) = refs
+         h_scr, c_scr) = refs
     else:
-        (hsf_ref, hsb_ref, hn_ref, cn_ref,
-         hf_scr, cf_scr, hb_scr, cb_scr) = refs
+        (hsf_ref, hsb_ref, hn_ref, cn_ref, h_scr, c_scr) = refs
         csf_ref = csb_ref = None
 
-    b = pl.program_id(0)
     t = pl.program_id(1)
     nT = pl.num_programs(1)
 
     @pl.when(t == 0)
     def _():
-        hf_scr[...] = jnp.zeros_like(hf_scr)
-        cf_scr[...] = jnp.zeros_like(cf_scr)
-        hb_scr[...] = jnp.zeros_like(hb_scr)
-        cb_scr[...] = jnp.zeros_like(cb_scr)
+        h_scr[...] = jnp.zeros_like(h_scr)
+        c_scr[...] = jnp.zeros_like(c_scr)
 
     lengths = len_ref[...]  # (Bt, 1) int32
 
-    def step(d, s_local, pos, xg_ref, h_scr, c_scr, hs_ref, cs_ref):
-        m = jnp.where(pos < lengths, 1.0, 0.0).astype(jnp.float32)
-        gates = xg_ref[s_local] + _recur(
-            h_scr[...], w_ref, d, Bt, Bg, b, compute_dtype
-        )
+    def chunk_step(s):
+        sb = C - 1 - s
+        pos_f = t * C + s
+        pos_b = (nT - 1 - t) * C + sb
+        m = jnp.stack(
+            [
+                jnp.where(pos_f < lengths, 1.0, 0.0),
+                jnp.where(pos_b < lengths, 1.0, 0.0),
+            ]
+        ).astype(jnp.float32)  # (2, Bt, 1)
+        xg = jnp.stack([xg_f_ref[s], xg_b_ref[sb]]).astype(jnp.float32)
+        gates = xg + _recur2(h_scr[...], w_ref, Bt, compute_dtype)
         h_new, c_new, _ = _cell(gates, c_scr[...])
         h_scr[...] = m * h_new + (1.0 - m) * h_scr[...]
         c_scr[...] = m * c_new + (1.0 - m) * c_scr[...]
-        hs_ref[s_local] = h_scr[...]
-        if cs_ref is not None:
-            cs_ref[s_local] = c_scr[...]
+        hsf_ref[s] = h_scr[0].astype(hsf_ref.dtype)
+        hsb_ref[sb] = h_scr[1].astype(hsb_ref.dtype)
+        if csf_ref is not None:
+            csf_ref[s] = c_scr[0].astype(csf_ref.dtype)
+            csb_ref[sb] = c_scr[1].astype(csb_ref.dtype)
 
-    for s in range(C):
-        step(0, s, t * C + s, xg_f_ref, hf_scr, cf_scr, hsf_ref, csf_ref)
-        sb = C - 1 - s
-        step(1, sb, (nT - 1 - t) * C + sb, xg_b_ref, hb_scr, cb_scr, hsb_ref, csb_ref)
+    if C == 1:
+        chunk_step(0)
+    else:
+        # fori_loop (not a Python unroll): Mosaic compile time stays flat in C
+        jax.lax.fori_loop(
+            0, C, lambda s, carry: (chunk_step(s), carry)[1], 0
+        )
 
-    hn_ref[0] = hf_scr[...]
-    hn_ref[1] = hb_scr[...]
-    cn_ref[0] = cf_scr[...]
-    cn_ref[1] = cb_scr[...]
+    hn_ref[...] = h_scr[...]
+    cn_ref[...] = c_scr[...]
 
 
 def _w_spec(B, Bt, G, H, H4, transposed=False):
-    """BlockSpec for recurrent weights: per-tile streamed group when tiles
-    sit inside groups, full stack otherwise."""
+    """BlockSpec for recurrent weights: exactly the tile's own groups are
+    streamed — (2, GPT, H, 4H) per tile. When several tiles share a group
+    (Bt <= Bg) the block index repeats; when a tile spans GPT groups the
+    block advances by GPT. VMEM weight residency is independent of G."""
     Bg = B // G
-    shape = (2, G, H4, H) if transposed else (2, G, H, H4)
-    if G > 1 and Bt <= Bg:
-        block = (2, 1) + shape[2:]
-        return pl.BlockSpec(
-            block, lambda b, t: (0, (b * Bt) // Bg, 0, 0), memory_space=pltpu.VMEM
-        )
-    return pl.BlockSpec(shape, lambda b, t: (0, 0, 0, 0), memory_space=pltpu.VMEM)
+    gpt = Bt // Bg if Bt > Bg else 1
+    block = (2, gpt, H4, H) if transposed else (2, gpt, H, H4)
+    return pl.BlockSpec(
+        block,
+        lambda b, t: (0, (b * Bt) // (Bg * gpt), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
 
 
 def _fwd_pallas(xg_f, xg_b, lengths, w, *, Bt: int, C: int, G: int,
@@ -192,7 +218,7 @@ def _fwd_pallas(xg_f, xg_b, lengths, w, *, Bt: int, C: int, G: int,
 
     st_out = pl.BlockSpec((C, Bt, H), fwd, memory_space=pltpu.VMEM)
     st_out_m = pl.BlockSpec((C, Bt, H), mir, memory_space=pltpu.VMEM)
-    st_shape = jax.ShapeDtypeStruct((Tp, B, H), jnp.float32)
+    st_shape = jax.ShapeDtypeStruct((Tp, B, H), compute_dtype)
     out_specs = [st_out, st_out_m]
     out_shape = [st_shape, st_shape]
     if with_states:
@@ -222,7 +248,7 @@ def _fwd_pallas(xg_f, xg_b, lengths, w, *, Bt: int, C: int, G: int,
         ],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((Bt, H), jnp.float32) for _ in range(4)],
+        scratch_shapes=[pltpu.VMEM((2, Bt, H), jnp.float32) for _ in range(2)],
         interpret=_interpret(),
     )(xg_f, xg_b, lengths, w)
 
@@ -233,93 +259,76 @@ def _bwd_kernel(
     xg_f_ref, xg_b_ref, len_ref, w_ref, wT_ref,
     hpf_ref, cpf_ref, hpb_ref, cpb_ref, dyf_ref, dyb_ref, dhn_ref, dcn_ref,
     dxg_f_ref, dxg_b_ref, dw_tiles_ref,
-    dhf_scr, dcf_scr, dhb_scr, dcb_scr, dw_scr,
+    dh_scr, dc_scr, dw_scr,
     *, C: int, Bt: int, Bg: int, compute_dtype,
 ):
-    b = pl.program_id(0)
     t = pl.program_id(1)
     nT = pl.num_programs(1)
 
     @pl.when(t == 0)
     def _():
-        dhf_scr[...] = dhn_ref[0]
-        dcf_scr[...] = dcn_ref[0]
-        dhb_scr[...] = dhn_ref[1]
-        dcb_scr[...] = dcn_ref[1]
+        dh_scr[...] = dhn_ref[...]
+        dc_scr[...] = dcn_ref[...]
         dw_scr[...] = jnp.zeros_like(dw_scr)
 
     lengths = len_ref[...]
     GPT = dw_scr.shape[1]  # groups per tile (1 when tiles sit inside groups)
+    Bgr = Bt // GPT
+    H = dh_scr.shape[-1]
+    H4 = 4 * H
 
-    def _slices(dgb, h_prev):
-        """(group-local slice pairs) for dW accumulation / dh matmuls."""
-        if GPT == 1:
-            return [(0, slice(None))]
-        return [(j, slice(j * Bg, (j + 1) * Bg)) for j in range(GPT)]
+    def chunk_step(i):
+        # fwd dir BPTT walks time chunks from the end (block nT-1-t); bwd dir
+        # walks position chunks from the front, ascending.
+        s = C - 1 - i
+        pos_f = (nT - 1 - t) * C + s
+        pos_b = t * C + i
+        h_prev = jnp.stack([hpf_ref[s], hpb_ref[i]]).astype(jnp.float32)
+        c_prev = jnp.stack([cpf_ref[s], cpb_ref[i]]).astype(jnp.float32)
+        xg = jnp.stack([xg_f_ref[s], xg_b_ref[i]]).astype(jnp.float32)
+        gates = xg + _recur2(h_prev, w_ref, Bt, compute_dtype)
+        _, c_new, (ig, f, gg_, o) = _cell(gates, c_prev)
 
-    def direction(d, s_local, pos, xg_ref, hp_ref, cp_ref, dy_ref,
-                  dh_scr, dc_scr, dxg_ref):
-        h_prev = hp_ref[s_local]
-        c_prev = cp_ref[s_local]
-        gates = xg_ref[s_local] + _recur(
-            h_prev, w_ref, d, Bt, Bg, b, compute_dtype
-        )
-        _, c_new, (i, f, gg_, o) = _cell(gates, c_prev)
-
-        dh = dh_scr[...] + dy_ref[s_local]
+        dy = jnp.stack([dyf_ref[s], dyb_ref[i]]).astype(jnp.float32)
+        dh = dh_scr[...] + dy
         dc = dc_scr[...]
-        m = jnp.where(pos < lengths, 1.0, 0.0).astype(jnp.float32)
+        m = jnp.stack(
+            [
+                jnp.where(pos_f < lengths, 1.0, 0.0),
+                jnp.where(pos_b < lengths, 1.0, 0.0),
+            ]
+        ).astype(jnp.float32)  # (2, Bt, 1)
 
         tc = jnp.tanh(c_new)
         do = dh * tc
         dc_t = dc + dh * o * (1.0 - tc * tc)
-        dgi = (dc_t * gg_) * i * (1.0 - i)
+        dgi = (dc_t * gg_) * ig * (1.0 - ig)
         dgf = (dc_t * c_prev) * f * (1.0 - f)
-        dgg = (dc_t * i) * (1.0 - gg_ * gg_)
+        dgg = (dc_t * ig) * (1.0 - gg_ * gg_)
         dgo = do * o * (1.0 - o)
         dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=-1) * m
-        dxg_ref[s_local] = dgates
+        dxg_f_ref[s] = dgates[0].astype(dxg_f_ref.dtype)
+        dxg_b_ref[i] = dgates[1].astype(dxg_b_ref.dtype)
 
-        dgb = dgates.astype(compute_dtype)
-        hpb = h_prev.astype(compute_dtype)
-        streamed = wT_ref.shape[1] == 1
-        if GPT == 1:
-            g = 0 if streamed else ((b * Bt) // Bg if wT_ref.shape[1] > 1 else 0)
-            dhp = jax.lax.dot_general(
-                dgb, wT_ref[d, g], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dw_scr[d, 0] += jax.lax.dot_general(
-                hpb, dgb, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        else:
-            parts = []
-            for j in range(GPT):
-                g = b * GPT + j
-                sl = slice(j * Bg, (j + 1) * Bg)
-                parts.append(
-                    jax.lax.dot_general(
-                        dgb[sl], wT_ref[d, g], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                )
-                dw_scr[d, j] += jax.lax.dot_general(
-                    hpb[sl], dgb[sl], (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            dhp = jnp.concatenate(parts, axis=0)
+        dgb = dgates.astype(compute_dtype).reshape(2 * GPT, Bgr, H4)
+        hpb = h_prev.astype(compute_dtype).reshape(2 * GPT, Bgr, H)
+        # both directions x all tile groups in ONE batched matmul each
+        dhp = jax.lax.dot_general(
+            dgb, wT_ref[...].reshape(2 * GPT, H4, H),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(2, Bt, H)
+        dw_scr[...] += jax.lax.dot_general(
+            hpb, dgb, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(2, GPT, H, H4)
         dh_scr[...] = dhp + dh * (1.0 - m)
         dc_scr[...] = dc_t * f * m + dc * (1.0 - m)
 
-    for s in reversed(range(C)):
-        # fwd dir BPTT: walks time chunks from the end (block nT-1-t)
-        direction(0, s, (nT - 1 - t) * C + s, xg_f_ref, hpf_ref, cpf_ref,
-                  dyf_ref, dhf_scr, dcf_scr, dxg_f_ref)
-        # bwd dir BPTT: walks position chunks from the front, ascending
-        sb = C - 1 - s
-        direction(1, sb, t * C + sb, xg_b_ref, hpb_ref, cpb_ref,
-                  dyb_ref, dhb_scr, dcb_scr, dxg_b_ref)
+    if C == 1:
+        chunk_step(0)
+    else:
+        jax.lax.fori_loop(0, C, lambda i, carry: (chunk_step(i), carry)[1], 0)
 
     dw_tiles_ref[0] = dw_scr[...]
 
@@ -370,12 +379,15 @@ def _bwd_pallas(
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Tp, B, H4), jnp.float32),
-            jax.ShapeDtypeStruct((Tp, B, H4), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, B, H4), compute_dtype),
+            jax.ShapeDtypeStruct((Tp, B, H4), compute_dtype),
             jax.ShapeDtypeStruct((nB, 2, GPT, H, H4), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((Bt, H), jnp.float32) for _ in range(4)]
-        + [pltpu.VMEM((2, GPT, H, H4), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((2, Bt, H), jnp.float32),
+            pltpu.VMEM((2, Bt, H), jnp.float32),
+            pltpu.VMEM((2, GPT, H, H4), jnp.float32),
+        ],
         interpret=_interpret(),
     )(xg_f, xg_b, lengths, w, wT, hp_f, cp_f, hp_b, cp_b, dy_f, dy_b, dhn, dcn)
 
@@ -410,7 +422,11 @@ def _input_gates(x_parts, w_ih, bias, d: int, compute_dtype):
         )
         total = contrib if total is None else total + contrib
         offs += E
-    return total + bias[d].astype(jnp.float32)[None, None, :]
+    # stored in the stream dtype (bf16 halves the dominant HBM stream); the
+    # cast fuses into the GEMM epilogue
+    return (total + bias[d].astype(jnp.float32)[None, None, :]).astype(
+        compute_dtype
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
@@ -502,7 +518,10 @@ def _layer_bwd(G, compute_dtype, Bt, C, residuals, cots):
         axis=-1,
     ).astype(w_ih.dtype)
     dbias = jnp.stack(
-        [jnp.sum(dxg_f, axis=(0, 1)), jnp.sum(dxg_b, axis=(0, 1))]
+        [
+            jnp.sum(dxg_f, axis=(0, 1), dtype=jnp.float32),
+            jnp.sum(dxg_b, axis=(0, 1), dtype=jnp.float32),
+        ]
     ).astype(w_ih.dtype)
     return tuple(dx_parts), dw_ih, dbias, dw.astype(w_hh_t.dtype), None
 
