@@ -28,13 +28,26 @@ def prefetch_to_device(
     :param batches: iterator of numpy batch dicts.
     :param size: prefetch depth (2 = double buffering).
     :param sharding: optional ``jax.sharding.Sharding`` for multi-device
-        placement of each array; None = default device placement.
+        placement of each array, or a callable ``batch -> Sharding`` (e.g.
+        to pick a stacked sharding for (K, B, ...) dispatch groups);
+        None = default device placement.
     """
     q: queue.Queue = queue.Queue(maxsize=size)
     err: list = []
+    multihost = jax.process_count() > 1
+    sharding_fn = sharding if callable(sharding) else (lambda _b: sharding)
 
     def put(batch):
+        sharding = sharding_fn(batch)
         if sharding is not None:
+            if multihost:
+                # each process feeds its local rows of the global batch
+                return {
+                    k: jax.make_array_from_process_local_data(
+                        sharding, np.asarray(v)
+                    )
+                    for k, v in batch.items()
+                }
             return {k: jax.device_put(v, sharding) for k, v in batch.items()}
         return jax.device_put(batch)
 

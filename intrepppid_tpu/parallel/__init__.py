@@ -1,5 +1,7 @@
 from intrepppid_tpu.parallel.mesh import (
     batch_sharding,
+    initialize_distributed,
+    put_global_batch,
     make_mesh,
     pad_batch_to_multiple,
     replicated_sharding,
@@ -8,6 +10,8 @@ from intrepppid_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "initialize_distributed",
+    "put_global_batch",
     "make_mesh",
     "batch_sharding",
     "replicated_sharding",

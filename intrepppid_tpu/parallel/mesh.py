@@ -19,6 +19,66 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 
+_distributed_initialized = False
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-host bootstrap — the DCN case of SURVEY.md §2.10.
+
+    Call once per process before any jax operation. Arguments default to
+    the standard environment (``JAX_COORDINATOR_ADDRESS`` /
+    ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``, or the Cloud-TPU metadata
+    jax auto-detects when all three are absent on a pod slice). Returns
+    True when a distributed runtime was (or already is) set up, False when
+    running single-host. After this, ``jax.devices()`` spans all hosts, so
+    :func:`make_mesh` builds a global mesh; batches must then be fed via
+    :func:`put_global_batch` (each process supplies its local rows).
+    """
+    global _distributed_initialized
+    if _distributed_initialized:
+        return True
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and num_processes is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    _distributed_initialized = True
+    return True
+
+
+def put_global_batch(mesh: Mesh, batch: dict, sharding=None) -> dict:
+    """Place a batch onto the mesh, multi-host aware.
+
+    Single-process: a plain sharded ``device_put``. Multi-process: each
+    process passes its LOCAL rows (global batch = local rows stacked in
+    process order along ``data``) and the arrays are assembled with
+    ``jax.make_array_from_process_local_data`` — data-parallel loading with
+    no cross-host batch broadcast.
+    """
+    sh = sharding if sharding is not None else batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    return {
+        k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+        for k, v in batch.items()
+    }
+
+
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,

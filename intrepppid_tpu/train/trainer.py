@@ -41,10 +41,30 @@ from intrepppid_tpu.parallel import (
     batch_sharding,
     make_mesh,
     pad_batch_to_multiple,
+    put_global_batch,
     replicated_sharding,
+    stacked_batch_sharding,
 )
 from intrepppid_tpu.train.checkpoint import CheckpointManager
 from intrepppid_tpu.utils.dictlogger import DictLogger
+
+def widen_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
+    """In-graph inverse of the wire compression below."""
+    return {
+        k: v.astype(jnp.int32) if v.dtype == jnp.int16 else v
+        for k, v in batch.items()
+    }
+
+
+def compress_batch_for_wire(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Send token/label arrays as int16: host->device transfer bytes halve
+    (the tunnel serializes transfers with compute, so bytes are wall time).
+    Only valid when every id fits int16 — callers gate on vocab_size."""
+    return {
+        k: v.astype(np.int16) if v.dtype == np.int32 else v
+        for k, v in batch.items()
+    }
+
 
 def resolve_steps_per_dispatch(value: Optional[int]) -> int:
     """``None`` -> platform-aware default (VERDICT r1 weak #5): on TPU-class
@@ -69,56 +89,41 @@ METRIC_KEYS = (
 )
 
 
-def materialize_scalar_dicts(dicts):
-    """Convert a list of same-keyed ``{name: jax scalar | float}`` dicts to
-    plain floats with ONE device transfer per key instead of one blocking
-    ``float()`` pull per value.
-
-    Per-step metric pulls serialize the host against the device — through a
-    tunnelled runtime each pull costs a full round trip, and they were the
-    dominant epoch cost. Deferring keeps the dispatch pipeline fully async.
-    """
-    if not dicts:
-        return []
-    keys = list(dicts[0].keys())
-    cols: Dict[str, np.ndarray] = {}
-    for k in keys:
-        vals = [d[k] for d in dicts]
-        if any(isinstance(v, jax.Array) for v in vals):
-            cols[k] = np.asarray(
-                jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])
-            )
-        else:
-            cols[k] = np.asarray(vals, np.float32)
-    return [
-        {k: float(cols[k][i]) for k in keys} for i in range(len(dicts))
-    ]
-
-
 class EpochAccumulator:
     """Batch-size-weighted mean of per-batch metric values.
 
-    ``add`` keeps the device scalars un-materialized; ``means`` pulls them
-    in one batched transfer at epoch end (no per-step device syncs).
+    ``add`` keeps the device scalars un-materialized and also accepts whole
+    K-step dispatch groups (values of shape ``(K,)`` with a weight vector) —
+    slicing a stacked aux per step would launch one device op per metric per
+    step. ``means`` pulls everything in one concatenated transfer per key at
+    epoch end; no per-step device syncs anywhere.
     """
 
     def __init__(self):
         self.items: list = []
         self.weight = 0.0
 
-    def add(self, aux: Dict[str, Any], batch_size: int) -> None:
-        self.items.append((dict(aux), batch_size))
-        self.weight += batch_size
+    def add(self, aux: Dict[str, Any], batch_size) -> None:
+        w = np.atleast_1d(np.asarray(batch_size, np.float64))
+        self.items.append((dict(aux), w))
+        self.weight += float(w.sum())
 
     def means(self) -> Dict[str, float]:
         if not self.items:
             return {}
-        mats = materialize_scalar_dicts([a for a, _ in self.items])
-        w = np.asarray([b for _, b in self.items], np.float64)
+        w = np.concatenate([wi for _, wi in self.items])
         out: Dict[str, float] = {}
-        for k in mats[0]:
-            v = np.asarray([m[k] for m in mats], np.float64)
-            out[k] = float((v * w).sum() / w.sum())
+        for k in self.items[0][0]:
+            vec = np.asarray(
+                jnp.concatenate(
+                    [
+                        jnp.atleast_1d(jnp.asarray(a[k], jnp.float32))
+                        for a, _ in self.items
+                    ]
+                ),
+                np.float64,
+            )
+            out[k] = float((vec * w).sum() / w.sum())
         return out
 
 
@@ -179,6 +184,8 @@ class Trainer:
         data = batch_sharding(self.mesh)
 
         def train_step(params, opt_state, batch, key, lr_scale):
+            batch = widen_batch(batch)
+
             def loss_fn(p):
                 loss, aux = net.step(p, batch, key, train=True)
                 return loss, aux
@@ -209,6 +216,7 @@ class Trainer:
         def one(carry, inp):
             params, opt_state = carry
             batch, key, lr_scale = inp
+            batch = widen_batch(batch)
 
             def loss_fn(p):
                 loss, aux = net.step(p, batch, key, train=True)
@@ -220,7 +228,15 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return (params, opt_state), aux
 
-        def multi_step(params, opt_state, batches, keys, lr_scales):
+        def multi_step(params, opt_state, batches, base_key, step0, lr_scale):
+            # per-step keys derived in-graph: eager fold_in/stack launches per
+            # dispatch group cost a full runtime round trip each on tunnelled
+            # platforms
+            K = jax.tree_util.tree_leaves(batches)[0].shape[0]
+            keys = jax.vmap(lambda i: jax.random.fold_in(base_key, step0 + i))(
+                jnp.arange(K)
+            )
+            lr_scales = jnp.full((K,), lr_scale, jnp.float32)
             (params, opt_state), auxs = jax.lax.scan(
                 one, (params, opt_state), (batches, keys, lr_scales)
             )
@@ -231,7 +247,7 @@ class Trainer:
         sdata = stacked_batch_sharding(self.mesh)
         return jax.jit(
             multi_step,
-            in_shardings=(rep, rep, sdata, rep, rep),
+            in_shardings=(rep, rep, sdata, rep, rep, rep),
             out_shardings=(rep, rep, rep),
             donate_argnums=(0, 1),
         )
@@ -242,7 +258,7 @@ class Trainer:
         data = batch_sharding(self.mesh)
 
         def eval_step(params, batch, key):
-            _, aux = net.step(params, batch, key, train=False)
+            _, aux = net.step(params, widen_batch(batch), key, train=False)
             return aux
 
         return jax.jit(eval_step, in_shardings=(rep, data, rep), out_shardings=rep)
@@ -307,8 +323,13 @@ class Trainer:
     def _run_eval(self, params, batches: Iterator, stage: str, step: int) -> Dict[str, float]:
         acc = EpochAccumulator()
         eval_key = jax.random.PRNGKey(self.seed + 17)
+        compress = self.net.cfg.encoder.vocab_size < 32768
         for i, batch in enumerate(batches):
             batch, true_b = pad_batch_to_multiple(batch, self.n_devices)
+            if compress:
+                batch = compress_batch_for_wire(batch)
+            if jax.process_count() > 1:
+                batch = put_global_batch(self.mesh, batch)
             # fresh key per batch: matters only for the always-active
             # variational weight-drop quirk, which the reference re-draws
             # per forward
@@ -334,35 +355,103 @@ class Trainer:
             acc = EpochAccumulator()
             n_samples = 0
 
+            compress = self.net.cfg.encoder.vocab_size < 32768
+
             def padded(it):
                 for b in it:
-                    yield pad_batch_to_multiple(b, self.n_devices)
+                    b, true_b = pad_batch_to_multiple(b, self.n_devices)
+                    if compress:
+                        b = compress_batch_for_wire(b)
+                    yield b, true_b
 
+            def grouped(it, K):
+                """Stack K consecutive same-shape numpy batches host-side.
+                One transfer + one dispatch per group; stacking on-device
+                cost ~7 eager launches per group through the runtime.
+                Bucket boundaries and tails flush as single batches (a
+                K'-stack would force a fresh compile per partial length)."""
+                buf: list = []
+                for batch, true_b in it:
+                    if buf and (
+                        buf[0][0]["p1"].shape != batch["p1"].shape
+                        or buf[0][0].keys() != batch.keys()
+                    ):
+                        yield from buf
+                        buf = []
+                    buf.append((batch, true_b))
+                    if len(buf) == K:
+                        stacked = {
+                            k: np.stack([b[k] for b, _ in buf])
+                            for k in buf[0][0]
+                        }
+                        yield (stacked, tuple(tb for _, tb in buf))
+                        buf = []
+                yield from buf
+
+            sdata = stacked_batch_sharding(self.mesh)
+            host_iter = padded(data_module.train_batches(epoch))
+            if self.steps_per_dispatch > 1:
+                host_iter = grouped(host_iter, self.steps_per_dispatch)
             batches = prefetch_to_device(
-                padded(data_module.train_batches(epoch)),
+                host_iter,
                 size=self.prefetch,
-                sharding=data_sh,
+                sharding=lambda b: sdata if b["p1"].ndim == 3 else data_sh,
             )
 
+            # deferred step logs: (aux dict, index into a stacked dispatch
+            # group or None, lr, step) — materialized in one concatenated
+            # transfer per metric at epoch end. Any float()/indexing here
+            # would launch device ops inside the hot loop.
             pending_step_logs: list = []
 
-            def log_step(aux, true_b):
+            def log_step(aux, true_b, auxs=None, index=None):
                 self.global_step += 1
-                acc.add(aux, true_b)
                 if self.global_step % self.log_every_n_steps == 0:
-                    # deferred: materialized in one batched transfer at epoch
-                    # end — a float() here would sync the dispatch pipeline
                     pending_step_logs.append(
                         (
-                            {
-                                "train_loss_step": aux["loss"],
-                                "train_classifier_loss_step": aux["classifier_loss"],
-                                "train_triplet_loss_step": aux["triplet_loss"],
-                                "lr": float(self.lr_schedule(self.global_step))
-                                * lr_scale,
-                            },
+                            auxs if auxs is not None else aux,
+                            index,
+                            float(self.lr_schedule(self.global_step)) * lr_scale,
                             self.global_step,
                         )
+                    )
+
+            def flush_step_logs():
+                if not pending_step_logs:
+                    return
+                names = ("loss", "classifier_loss", "triplet_loss")
+                uniq, starts, pos = [], {}, 0
+                for auxs, _, _, _ in pending_step_logs:
+                    if id(auxs) not in starts:
+                        starts[id(auxs)] = pos
+                        uniq.append(auxs)
+                        shape = jnp.shape(auxs["loss"])
+                        pos += shape[0] if shape else 1
+                cols = {
+                    k: np.asarray(
+                        jnp.concatenate(
+                            [
+                                jnp.atleast_1d(jnp.asarray(a[k], jnp.float32))
+                                for a in uniq
+                            ]
+                        )
+                    )
+                    for k in names
+                }
+                for auxs, idx, lr_v, step in pending_step_logs:
+                    row = starts[id(auxs)] + (idx or 0)
+                    self._log(
+                        {
+                            "train_loss_step": float(cols["loss"][row]),
+                            "train_classifier_loss_step": float(
+                                cols["classifier_loss"][row]
+                            ),
+                            "train_triplet_loss_step": float(
+                                cols["triplet_loss"][row]
+                            ),
+                            "lr": lr_v,
+                        },
+                        step,
                     )
 
             def run_single(batch, true_b):
@@ -372,57 +461,31 @@ class Trainer:
                     key, jnp.float32(lr_scale),
                 )
                 log_step(aux, true_b)
+                acc.add(aux, true_b)
 
-            def run_stack(buf):
-                # K same-shape batches in one dispatch
-                K = len(buf)
-                stacked = {
-                    k: jnp.stack([b[k] for b, _ in buf]) for k in buf[0][0]
-                }
-                keys = jnp.stack(
-                    [
-                        jax.random.fold_in(self._base_key, self.global_step + i)
-                        for i in range(K)
-                    ]
-                )
-                scales = jnp.full((K,), lr_scale, jnp.float32)
+            def run_stack(stacked, true_bs):
+                # K same-shape batches, pre-stacked on host, in one dispatch;
+                # the stacked aux is recorded whole (no per-step slicing)
                 self.params, self.opt_state, auxs = self._multi_step(
-                    self.params, self.opt_state, stacked, keys, scales
+                    self.params, self.opt_state, stacked,
+                    self._base_key, jnp.int32(self.global_step),
+                    jnp.float32(lr_scale),
                 )
-                for i, (_, true_b) in enumerate(buf):
-                    aux = {k: v[i] for k, v in auxs.items()}
-                    log_step(aux, true_b)
+                for i, true_b in enumerate(true_bs):
+                    log_step(None, true_b, auxs=auxs, index=i)
+                acc.add(auxs, np.asarray(true_bs, np.float64))
 
-            buf = []
-            for batch, true_b in batches:
-                n_samples += true_b
-                if self.steps_per_dispatch <= 1:
-                    run_single(batch, true_b)
-                    continue
-                if buf and (
-                    buf[0][0]["p1"].shape != batch["p1"].shape
-                    or buf[0][0].keys() != batch.keys()  # padded batches add "weight"
-                ):
-                    # bucket boundary: flush partials through the (already
-                    # compiled) single-step executable — a run_stack here
-                    # would force a fresh K'-step compile per partial length
-                    for item in buf:
-                        run_single(*item)
-                    buf = []
-                buf.append((batch, true_b))
-                if len(buf) == self.steps_per_dispatch:
-                    run_stack(buf)
-                    buf = []
-            for item in buf:
-                run_single(*item)
+            for batch, meta in batches:
+                if isinstance(meta, tuple):  # stacked dispatch group
+                    n_samples += sum(meta)
+                    run_stack(batch, meta)
+                else:
+                    n_samples += meta
+                    run_single(batch, meta)
             # one sync to materialize the epoch: flush deferred step logs,
             # then the weighted epoch means (this is also where the epoch
             # clock stops — all dispatched work must be done to produce them)
-            for mats, step in zip(
-                materialize_scalar_dicts([m for m, _ in pending_step_logs]),
-                [s for _, s in pending_step_logs],
-            ):
-                self._log(mats, step)
+            flush_step_logs()
             train_metrics = {f"train_{k}": v for k, v in acc.means().items()}
             epoch_time = time.perf_counter() - t0
             train_metrics["epoch_time_s"] = epoch_time
