@@ -66,6 +66,30 @@ def compress_batch_for_wire(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarra
     }
 
 
+def group_dispatch_batches(it: Iterator, K: int) -> Iterator:
+    """Stack K consecutive same-shape (batch, true_b) numpy pairs host-side
+    into ``(stacked_batch, tuple_of_true_b)`` dispatch groups. One transfer +
+    one dispatch per group; stacking on-device costs ~7 eager launches per
+    group through the runtime. Bucket boundaries and tails flush as single
+    batches (a K'-stack would force a fresh compile per partial length)."""
+    buf: list = []
+    for batch, true_b in it:
+        if buf and (
+            buf[0][0]["p1"].shape != batch["p1"].shape
+            or buf[0][0].keys() != batch.keys()
+        ):
+            yield from buf
+            buf = []
+        buf.append((batch, true_b))
+        if len(buf) == K:
+            stacked = {
+                k: np.stack([b[k] for b, _ in buf]) for k in buf[0][0]
+            }
+            yield (stacked, tuple(tb for _, tb in buf))
+            buf = []
+    yield from buf
+
+
 def resolve_steps_per_dispatch(value: Optional[int]) -> int:
     """``None`` -> platform-aware default (VERDICT r1 weak #5): on TPU-class
     backends each host->device dispatch costs ~45 ms through the runtime, so
@@ -364,34 +388,12 @@ class Trainer:
                         b = compress_batch_for_wire(b)
                     yield b, true_b
 
-            def grouped(it, K):
-                """Stack K consecutive same-shape numpy batches host-side.
-                One transfer + one dispatch per group; stacking on-device
-                cost ~7 eager launches per group through the runtime.
-                Bucket boundaries and tails flush as single batches (a
-                K'-stack would force a fresh compile per partial length)."""
-                buf: list = []
-                for batch, true_b in it:
-                    if buf and (
-                        buf[0][0]["p1"].shape != batch["p1"].shape
-                        or buf[0][0].keys() != batch.keys()
-                    ):
-                        yield from buf
-                        buf = []
-                    buf.append((batch, true_b))
-                    if len(buf) == K:
-                        stacked = {
-                            k: np.stack([b[k] for b, _ in buf])
-                            for k in buf[0][0]
-                        }
-                        yield (stacked, tuple(tb for _, tb in buf))
-                        buf = []
-                yield from buf
-
             sdata = stacked_batch_sharding(self.mesh)
             host_iter = padded(data_module.train_batches(epoch))
             if self.steps_per_dispatch > 1:
-                host_iter = grouped(host_iter, self.steps_per_dispatch)
+                host_iter = group_dispatch_batches(
+                    host_iter, self.steps_per_dispatch
+                )
             batches = prefetch_to_device(
                 host_iter,
                 size=self.prefetch,

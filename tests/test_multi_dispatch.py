@@ -61,3 +61,28 @@ def test_steps_per_dispatch_platform_default():
     assert resolve_steps_per_dispatch(0) == 1
     # tests run on the forced-cpu platform
     assert resolve_steps_per_dispatch(None) == 1
+
+
+def test_group_dispatch_batches_bucket_boundaries():
+    """Mixed-shape sequences: full K-groups stack; bucket boundaries and
+    tails flush as singles, preserving order."""
+    import numpy as np
+
+    from intrepppid_tpu.train.trainer import group_dispatch_batches
+
+    def mk(T, v):
+        return {"p1": np.full((4, T), v, np.int32)}, v
+
+    items = [mk(16, 1), mk(16, 2), mk(32, 3), mk(32, 4), mk(32, 5), mk(16, 6)]
+    out = list(group_dispatch_batches(iter(items), 2))
+    # [stack(1,2)] [stack(3,4)] [single 5 (flushed at boundary)] [single 6 (tail)]
+    assert isinstance(out[0][1], tuple) and out[0][1] == (1, 2)
+    assert out[0][0]["p1"].shape == (2, 4, 16)
+    assert isinstance(out[1][1], tuple) and out[1][1] == (3, 4)
+    assert out[2][1] == 5 and out[2][0]["p1"].shape == (4, 32)
+    assert out[3][1] == 6 and out[3][0]["p1"].shape == (4, 16)
+    # the weight key appearing mid-stream (tail padded batch) also splits
+    items2 = [mk(16, 1), ({"p1": np.zeros((4, 16), np.int32),
+                           "weight": np.ones(4, np.float32)}, 7)]
+    out2 = list(group_dispatch_batches(iter(items2), 2))
+    assert out2[0][1] == 1 and out2[1][1] == 7
