@@ -260,7 +260,7 @@ def _bwd_kernel(
     hpf_ref, cpf_ref, hpb_ref, cpb_ref, dyf_ref, dyb_ref, dhn_ref, dcn_ref,
     dxg_f_ref, dxg_b_ref, dw_tiles_ref,
     dh_scr, dc_scr, dw_scr,
-    *, C: int, Bt: int, Bg: int, compute_dtype,
+    *, C: int, Bt: int, Bg: int, compute_dtype, shift_in_kernel: bool,
 ):
     t = pl.program_id(1)
     nT = pl.num_programs(1)
@@ -285,6 +285,19 @@ def _bwd_kernel(
         pos_b = t * C + i
         h_prev = jnp.stack([hpf_ref[s], hpb_ref[i]]).astype(jnp.float32)
         c_prev = jnp.stack([cpf_ref[s], cpb_ref[i]]).astype(jnp.float32)
+        if shift_in_kernel:
+            # hp/cp refs are the hs/cs arrays read at t∓1 block offsets
+            # (clamped); the initial state of each direction's sweep — fwd
+            # position 0, bwd position Tp-1, both at grid step nT-1 — is
+            # zeros, masked here instead of materializing shifted copies.
+            boundary = jnp.stack(
+                [
+                    jnp.full((Bt, 1), pos_f == 0),
+                    jnp.full((Bt, 1), pos_b == nT * C - 1),
+                ]
+            )
+            h_prev = jnp.where(boundary, 0.0, h_prev)
+            c_prev = jnp.where(boundary, 0.0, c_prev)
         xg = jnp.stack([xg_f_ref[s], xg_b_ref[i]]).astype(jnp.float32)
         gates = xg + _recur2(h_prev, w_ref, Bt, compute_dtype)
         _, c_new, (ig, f, gg_, o) = _cell(gates, c_prev)
@@ -335,7 +348,7 @@ def _bwd_kernel(
 
 def _bwd_pallas(
     xg_f, xg_b, lengths, w, wT, hp_f, cp_f, hp_b, cp_b, dy_f, dy_b, dhn, dcn,
-    *, Bt: int, C: int, G: int, compute_dtype,
+    *, Bt: int, C: int, G: int, compute_dtype, shift_in_kernel: bool = False,
 ):
     Tp, B, H4 = xg_f.shape
     H = H4 // 4
@@ -347,9 +360,17 @@ def _bwd_pallas(
     fwd = lambda b, t: (t, b, 0)            # bwd-dir BPTT order
     lmap = lambda b, t: (b, 0)
     onb = lambda b, t: (0, b, 0)
+    if shift_in_kernel:
+        # previous-state reads straight from hs/cs at t∓1 block offsets
+        # (C == 1 only; boundary blocks clamp and are zero-masked in-kernel)
+        prev_f = lambda b, t: (jnp.maximum(nT - 2 - t, 0), b, 0)
+        prev_b = lambda b, t: (jnp.minimum(t + 1, nT - 1), b, 0)
+    else:
+        prev_f, prev_b = mir, fwd
 
     kernel = functools.partial(
-        _bwd_kernel, C=C, Bt=Bt, Bg=Bg, compute_dtype=compute_dtype
+        _bwd_kernel, C=C, Bt=Bt, Bg=Bg, compute_dtype=compute_dtype,
+        shift_in_kernel=shift_in_kernel,
     )
     dxg_f, dxg_b, dw_tiles = pl.pallas_call(
         kernel,
@@ -360,10 +381,10 @@ def _bwd_pallas(
             pl.BlockSpec((Bt, 1), lmap, memory_space=pltpu.VMEM),
             _w_spec(B, Bt, G, H, H4),
             _w_spec(B, Bt, G, H, H4, transposed=True),
-            pl.BlockSpec((C, Bt, H), mir, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, Bt, H), mir, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, Bt, H), fwd, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, Bt, H), fwd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Bt, H), prev_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Bt, H), prev_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Bt, H), prev_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Bt, H), prev_b, memory_space=pltpu.VMEM),
             pl.BlockSpec((C, Bt, H), mir, memory_space=pltpu.VMEM),
             pl.BlockSpec((C, Bt, H), fwd, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, Bt, H), onb, memory_space=pltpu.VMEM),
@@ -472,17 +493,25 @@ def _layer_bwd(G, compute_dtype, Bt, C, residuals, cots):
 
     w = w_hh_t.astype(compute_dtype)
     wT = jnp.swapaxes(w, -1, -2)
-    zero = jnp.zeros_like(hs_f[:1])
-    # fwd dir processed positions ascending: prev state at t-1
-    hp_f = jnp.concatenate([zero, hs_f[:-1]], axis=0)
-    cp_f = jnp.concatenate([zero, cs_f[:-1]], axis=0)
-    # bwd dir processed positions descending: prev state at t+1
-    hp_b = jnp.concatenate([hs_b[1:], zero], axis=0)
-    cp_b = jnp.concatenate([cs_b[1:], zero], axis=0)
+    if C == 1:
+        # previous states read in-kernel from hs/cs at shifted block indices
+        # — no materialized shift copies (4 x (Tp,B,H) writes+reads saved)
+        hp_f, cp_f, hp_b, cp_b = hs_f, cs_f, hs_b, cs_b
+        shift_in_kernel = True
+    else:
+        zero = jnp.zeros_like(hs_f[:1])
+        # fwd dir processed positions ascending: prev state at t-1
+        hp_f = jnp.concatenate([zero, hs_f[:-1]], axis=0)
+        cp_f = jnp.concatenate([zero, cs_f[:-1]], axis=0)
+        # bwd dir processed positions descending: prev state at t+1
+        hp_b = jnp.concatenate([hs_b[1:], zero], axis=0)
+        cp_b = jnp.concatenate([cs_b[1:], zero], axis=0)
+        shift_in_kernel = False
 
     dxg_f, dxg_b, dw = _bwd_pallas(
         xg_f, xg_b, lengths, w, wT, hp_f, cp_f, hp_b, cp_b, dy_f, dy_b, dhn, dcn,
         Bt=Bt, C=C, G=G, compute_dtype=compute_dtype,
+        shift_in_kernel=shift_in_kernel,
     )
 
     dxg_fc = dxg_f.astype(compute_dtype)
