@@ -26,6 +26,9 @@
 #include <cstring>
 #include <algorithm>
 #include <atomic>
+#include <climits>
+#include <limits>
+#include <mutex>
 #include <random>
 #include <thread>
 #include <string>
@@ -110,6 +113,13 @@ struct Model {
   std::vector<int32_t> flat_next;
   std::vector<int32_t> flat_pid;
   std::vector<float> flat_score;
+  // probability-space FFBS: exp(alpha * score) per trie node, precomputed
+  // once per alpha (the lattice forward/backward then needs ZERO
+  // transcendentals — pure multiply-adds; see SampleEncode)
+  std::vector<double> flat_pw;
+  double unk_pw = 0.0;
+  float pw_alpha = std::numeric_limits<float>::quiet_NaN();
+  std::mutex pw_mutex;
   std::mt19937_64 rng{std::random_device{}()};
   // Deterministic parallel sampling: every sequence gets its own RNG stream
   // derived from (base_seed, running sequence counter), so batch results are
@@ -223,53 +233,15 @@ int Utf8CharLen(uint8_t b) {
 // profile. Edges live in flat arrays chained into per-end linked lists.
 struct Workspace {
   std::vector<int32_t> e_start, e_pid, e_next;
-  std::vector<float> e_score;
   std::vector<int32_t> head;          // per end position: first edge or -1
-  std::vector<float> e_lw;            // cached fwd[start] + alpha*score
+  std::vector<double> e_w;            // cached edge mass, in end's scale
+  std::vector<double> w;              // forward mass mantissa per position
+  std::vector<int32_t> wexp;          // forward mass scale: true = w*2^-wexp
   std::vector<double> best;
-  std::vector<float> fwd;
   std::vector<int32_t> back_start, back_piece;
   std::vector<int32_t> tmp;
 };
 thread_local Workspace tls_ws;
-
-// Builds incoming-edge linked lists per end position (byte indexed).
-void BuildLattice(const Model& m, const char* text, int n, Workspace* ws) {
-  ws->head.assign(n + 1, -1);
-  ws->e_start.clear();
-  ws->e_pid.clear();
-  ws->e_next.clear();
-  ws->e_score.clear();
-  const int32_t* nexts = m.flat_next.data();
-  auto push_edge = [&](int end, int start, int pid, float score) {
-    int idx = static_cast<int>(ws->e_start.size());
-    ws->e_start.push_back(start);
-    ws->e_pid.push_back(pid);
-    ws->e_score.push_back(score);
-    ws->e_next.push_back(ws->head[end]);
-    ws->head[end] = idx;
-  };
-  for (int i = 0; i < n;) {
-    int char_len = Utf8CharLen(static_cast<uint8_t>(text[i]));
-    if (i + char_len > n) char_len = 1;
-    bool matched_single = false;
-    int node = 0;
-    int limit = std::min(n, i + m.max_piece_len);
-    for (int j = i; j < limit; ++j) {
-      node = nexts[node * 256 + static_cast<uint8_t>(text[j])];
-      if (node < 0) break;
-      int pid = m.flat_pid[node];
-      if (pid >= 0) {
-        push_edge(j + 1, i, pid, m.flat_score[node]);
-        if (j + 1 == i + char_len) matched_single = true;
-      }
-    }
-    if (!matched_single) {
-      push_edge(i + char_len, i, m.unk_id, m.unk_score);
-    }
-    i += char_len;
-  }
-}
 
 int ViterbiEncode(const Model& m, const char* text, int n, int* out, int max_out) {
   // Start-major relaxation straight off the trie: no lattice is
@@ -330,42 +302,6 @@ int ViterbiEncode(const Model& m, const char* text, int n, int* out, int max_out
   return count;
 }
 
-// Fast float exp/log (Cephes-style polynomial + exponent-field tricks,
-// ~1e-5 relative error). The FFBS lattice math is one exp+log per edge and
-// dominates the host tokenization profile; subword-regularisation sampling
-// is insensitive at this accuracy (test tolerance 3.5e-2 on frequencies).
-inline float FastExpF(float x) {
-  if (x < -87.0f) return 0.0f;
-  if (x > 87.0f) x = 87.0f;
-  float t = x * 1.4426950408889634f;  // x / ln2
-  float fi = std::floor(t);
-  float f = t - fi;  // [0, 1)
-  float p = 1.0f + f * (0.693147180f + f * (0.240226507f + f * (0.055504109f + f * (0.009618129f + f * 0.001333356f))));
-  union { uint32_t u; float fl; } bits;
-  bits.u = static_cast<uint32_t>(static_cast<int32_t>(fi) + 127) << 23;
-  return p * bits.fl;
-}
-
-inline float FastLog2F(float x) {
-  union { float fl; uint32_t u; } b;
-  b.fl = x;
-  float e = static_cast<float>(static_cast<int32_t>(b.u >> 23) - 127);
-  b.u = (b.u & 0x007FFFFFu) | 0x3F800000u;  // mantissa in [1, 2)
-  float mm = b.fl;
-  // degree-5 Chebyshev-node fit of log2 on [1,2): max abs err ~1.4e-5
-  float p = (((((0.043928628f * mm - 0.409475586f) * mm + 1.610177547f) * mm
-               - 3.520218838f) * mm + 5.069756317f) * mm - 2.794153677f);
-  return e + p;
-}
-
-float LogSumExpF(float a, float b) {
-  if (a < b) std::swap(a, b);
-  if (b <= -1e29f) return a;
-  float d = b - a;
-  if (d < -30.0f) return a;
-  return a + FastLog2F(1.0f + FastExpF(d)) * 0.6931471805599453f;
-}
-
 uint64_t SplitMix64(uint64_t x) {
   x += 0x9e3779b97f4a7c15ULL;
   x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ULL;
@@ -373,29 +309,96 @@ uint64_t SplitMix64(uint64_t x) {
   return x ^ (x >> 31);
 }
 
+// Precompute exp(alpha * score) per trie node (and for the unk edge) so
+// the FFBS lattice math below runs entirely in probability space with no
+// per-edge transcendentals. A few hundred std::exp calls per alpha change
+// (alpha is constant across a training run).
+void EnsurePieceWeights(Model* m, float alpha) {
+  if (m->pw_alpha == alpha && !m->flat_pw.empty()) return;
+  std::lock_guard<std::mutex> lock(m->pw_mutex);
+  if (m->pw_alpha == alpha && !m->flat_pw.empty()) return;
+  std::vector<double> pw(m->flat_score.size());
+  for (size_t i = 0; i < pw.size(); ++i)
+    pw[i] = std::exp(static_cast<double>(alpha) * m->flat_score[i]);
+  m->unk_pw = std::exp(static_cast<double>(alpha) * m->unk_score);
+  m->flat_pw.swap(pw);
+  m->pw_alpha = alpha;
+}
+
 int SampleEncode(const Model& m, const char* text, int n, float alpha,
                  std::mt19937_64& rng, int* out, int max_out) {
+  // Forward-filtering backward-sampling in PROBABILITY space: the forward
+  // mass at byte position p is stored as w[p] * 2^-wexp[p] (mantissa +
+  // power-of-two scale, rescaled when the mantissa drifts below 2^-256, so
+  // arbitrarily long inputs never underflow). Each edge's contribution is
+  // one f64 multiply-add against the precomputed exp(alpha*score) of its
+  // trie node — no exp/log per edge, which was the dominant host cost of
+  // the previous log-space formulation (~5x on the epoch tokenization
+  // profile). Lattice construction (trie walk) is fused into the same
+  // start-major pass; cached per-edge masses e_w are all expressed in
+  // their END position's scale, so backward sampling ratios need no scale
+  // adjustment at all.
+  (void)alpha;  // folded into m.flat_pw by EnsurePieceWeights
   Workspace& ws = tls_ws;
-  BuildLattice(m, text, n, &ws);
-  // f32 lattice math: the FFBS transcendentals dominate the host profile
-  // and subword-regularisation sampling is insensitive to f32 noise.
-  // Per-edge weights are cached in the forward pass, and the backward
-  // normalizer is just fwd[pos] (logsumexp of that position's incoming).
-  ws.fwd.assign(n + 1, -1e30f);
-  ws.fwd[0] = 0.0f;
-  ws.e_lw.assign(ws.e_start.size(), -1e30f);
-  for (int end = 1; end <= n; ++end) {
-    float acc = -1e30f;
-    for (int e = ws.head[end]; e >= 0; e = ws.e_next[e]) {
-      float f = ws.fwd[ws.e_start[e]];
-      if (f <= -1e29f) continue;
-      float lw = f + alpha * ws.e_score[e];
-      ws.e_lw[e] = lw;
-      acc = LogSumExpF(acc, lw);
+  ws.head.assign(n + 1, -1);
+  ws.e_start.clear();
+  ws.e_pid.clear();
+  ws.e_next.clear();
+  ws.e_w.clear();
+  ws.w.assign(n + 1, 0.0);
+  ws.wexp.assign(n + 1, INT_MIN);
+  ws.w[0] = 1.0;
+  ws.wexp[0] = 0;
+  const int32_t* nexts = m.flat_next.data();
+  const double* pws = m.flat_pw.data();
+
+  auto push_edge = [&](int end, int start, int pid, double mass, int se) {
+    if (ws.wexp[end] == INT_MIN) ws.wexp[end] = se;
+    else if (se != ws.wexp[end]) mass = std::ldexp(mass, ws.wexp[end] - se);
+    ws.w[end] += mass;
+    int idx = static_cast<int>(ws.e_start.size());
+    ws.e_start.push_back(start);
+    ws.e_pid.push_back(pid);
+    ws.e_w.push_back(mass);
+    ws.e_next.push_back(ws.head[end]);
+    ws.head[end] = idx;
+  };
+
+  for (int i = 0; i < n;) {
+    int char_len = Utf8CharLen(static_cast<uint8_t>(text[i]));
+    if (i + char_len > n) char_len = 1;
+    double b = ws.w[i];
+    int ei = ws.wexp[i];
+    // finalize this position's mass: renormalize the mantissa (edges into
+    // i already cached keep their pre-rescale scale — backward only takes
+    // ratios among edges of one position, which a uniform factor preserves)
+    while (b > 0.0 && b < 0x1p-256) {
+      b = std::ldexp(b, 256);
+      ei += 256;
     }
-    ws.fwd[end] = acc;
+    ws.w[i] = b;
+    ws.wexp[i] = ei;
+    if (b > 0.0) {
+      bool matched_single = false;
+      int node = 0;
+      int limit = std::min(n, i + m.max_piece_len);
+      for (int j = i; j < limit; ++j) {
+        node = nexts[node * 256 + static_cast<uint8_t>(text[j])];
+        if (node < 0) break;
+        int pid = m.flat_pid[node];
+        if (pid >= 0) {
+          push_edge(j + 1, i, pid, b * pws[node], ei);
+          if (j + 1 == i + char_len) matched_single = true;
+        }
+      }
+      if (!matched_single) {
+        push_edge(i + char_len, i, m.unk_id, b * m.unk_pw, ei);
+      }
+    }
+    i += char_len;
   }
-  if (n > 0 && ws.fwd[n] <= -1e29f) return -1;
+  if (n > 0 && !(ws.w[n] > 0.0)) return -1;
+
   ws.tmp.clear();  // sampled piece ids, reversed
   std::vector<int32_t>& edge_ids = ws.back_start;  // reuse as scratch
   edge_ids.clear();
@@ -407,15 +410,16 @@ int SampleEncode(const Model& m, const char* text, int n, float alpha,
     // (starts-ascending) order the distribution was defined over
     for (int e = ws.head[pos]; e >= 0; e = ws.e_next[e]) edge_ids.push_back(e);
     std::reverse(edge_ids.begin(), edge_ids.end());
-    const float logz = ws.fwd[pos];
-    float r = uni(rng);
-    float cum = 0.0f;
+    // total mass from the cached edge masses (NOT w[pos], which may have
+    // been rescaled after the edges were cached)
+    double total = 0.0;
+    for (size_t k = 0; k < edge_ids.size(); ++k) total += ws.e_w[edge_ids[k]];
+    double target = static_cast<double>(uni(rng)) * total;
+    double cum = 0.0;
     int chosen = -1;
     for (size_t k = 0; k < edge_ids.size(); ++k) {
-      float lw = ws.e_lw[edge_ids[k]];
-      if (lw <= -1e29f) continue;
-      cum += FastExpF(lw - logz);
-      if (r <= cum) {
+      cum += ws.e_w[edge_ids[k]];
+      if (target <= cum && ws.e_w[edge_ids[k]] > 0.0) {
         chosen = static_cast<int>(k);
         break;
       }
@@ -423,7 +427,7 @@ int SampleEncode(const Model& m, const char* text, int n, float alpha,
     if (chosen < 0) {
       // numerical slack: take the last viable edge
       for (int k = static_cast<int>(edge_ids.size()) - 1; k >= 0; --k) {
-        if (ws.e_lw[edge_ids[k]] > -1e29f) {
+        if (ws.e_w[edge_ids[k]] > 0.0) {
           chosen = k;
           break;
         }
@@ -510,8 +514,10 @@ int spm_encode(void* h, const char* text, int text_len, int sampling,
                float alpha, int* out, int max_out) {
   Model* m = static_cast<Model*>(h);
   if (text_len == 0) return 0;
-  if (sampling)
+  if (sampling) {
+    EnsurePieceWeights(m, alpha);
     return SampleEncode(*m, text, text_len, alpha, m->rng, out, max_out);
+  }
   return ViterbiEncode(*m, text, text_len, out, max_out);
 }
 
@@ -525,6 +531,7 @@ int spm_encode_batch(void* h, const char* texts, const int64_t* offsets,
                      int n, int sampling, float alpha, int32_t* out,
                      int trunc_len, int n_threads) {
   Model* m = static_cast<Model*>(h);
+  if (sampling) EnsurePieceWeights(m, alpha);  // before the threads fork
   const uint64_t stream_base = m->seq_counter;
   m->seq_counter += static_cast<uint64_t>(n);
   std::atomic<int> failed{0};
