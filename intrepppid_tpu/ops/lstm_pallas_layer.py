@@ -431,23 +431,27 @@ def _bwd_pallas(
 # ----------------------------------------------------------- layer-level op
 
 def _input_gates(x_parts, w_ih, bias, d: int, compute_dtype):
-    """Direction ``d`` input gates (Tp,B,4H) f32 from time-major parts."""
+    """Direction ``d`` input gates (Tp,B,4H) in ``compute_dtype``.
+
+    The GEMM emits ``compute_dtype`` directly (``preferred_element_type``):
+    the MXU still accumulates in f32 internally, but XLA does NOT fuse an
+    explicit f32->bf16 cast into the GEMM epilogue — a separate f32 gates
+    array (2x the bytes) gets materialized and re-read, measured ~1.2 ms
+    extra per direction at (T=1024, B=400). Bias and the multi-part sum are
+    added in ``compute_dtype`` (one extra bf16 rounding, well inside the
+    recurrence's bf16 stream noise).
+    """
     offs = 0
-    total = None
+    total = bias[d].astype(compute_dtype)[None, None, :]
     for part in x_parts:
         E = part.shape[-1]
         wp = w_ih[d, :, offs : offs + E].astype(compute_dtype)
-        contrib = jnp.einsum(
+        total = total + jnp.einsum(
             "tbe,ge->tbg", part.astype(compute_dtype), wp,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=compute_dtype,
         )
-        total = contrib if total is None else total + contrib
         offs += E
-    # stored in the stream dtype (bf16 halves the dominant HBM stream); the
-    # cast fuses into the GEMM epilogue
-    return (total + bias[d].astype(jnp.float32)[None, None, :]).astype(
-        compute_dtype
-    )
+    return total
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
@@ -521,10 +525,14 @@ def _layer_bwd(G, compute_dtype, Bt, C, residuals, cots):
     for part in x_parts:
         E = part.shape[-1]
         wp = w_ih[:, :, offs : offs + E].astype(compute_dtype)
+        # emit the part's dtype straight from the GEMMs — an f32 preferred
+        # type here materializes a full-size f32 dx that the cast then
+        # re-reads (same unfused-epilogue behavior as in _input_gates)
+        pref = part.dtype if part.dtype == compute_dtype else jnp.float32
         dx = jnp.einsum(
-            "tbg,ge->tbe", dxg_fc, wp[0], preferred_element_type=jnp.float32
+            "tbg,ge->tbe", dxg_fc, wp[0], preferred_element_type=pref
         ) + jnp.einsum(
-            "tbg,ge->tbe", dxg_bc, wp[1], preferred_element_type=jnp.float32
+            "tbg,ge->tbe", dxg_bc, wp[1], preferred_element_type=pref
         )
         dx_parts.append(dx.astype(part.dtype))
         offs += E
