@@ -58,20 +58,43 @@ def variational_weight(key: jax.Array, w: jnp.ndarray, p: float) -> jnp.ndarray:
     return jnp.where(keep, w / (1.0 - p), 0.0).astype(w.dtype)
 
 
+# Vocabulary size up to which the lookup itself runs as a one-hot GEMM:
+# TPU row gathers run at a fraction of HBM bandwidth (profiled 3.3 ms/step
+# — 32 GB/s — for the grouped (5,250,64)-table lookup at the flagship
+# shape), while the one-hot contraction fuses the iota-compare into the
+# MXU operand tiles and measures at the memory floor (~0.3 ms).
+_ONEHOT_GATHER_MAX_VOCAB = 4096
+
+
+def _lookup(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    vocab = table.shape[0]
+    if vocab > _ONEHOT_GATHER_MAX_VOCAB:
+        return jnp.take(table, ids, axis=0)
+    onehot = jax.nn.one_hot(ids.reshape(-1), vocab, dtype=table.dtype)
+    rows = jax.lax.dot_general(
+        onehot, table, (((1,), (0,)), ((), ())),
+        preferred_element_type=table.dtype,
+    )
+    return rows.reshape(ids.shape + (table.shape[-1],))
+
+
 @jax.custom_vjp
 def embedding_gather(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
-    """``table[ids]`` with an MXU-friendly backward.
+    """``table[ids]`` with an MXU-friendly forward AND backward.
 
-    XLA's autodiff of a gather is a scatter-add, which serialises on TPU
-    (measured ~90 ms per train step at the flagship shape). The VJP here is
-    the algebraic equivalent one-hot contraction ``dtable = onehot(ids)^T @
-    dout`` — one small GEMM (vocabularies in this domain are tiny).
+    Forward: for small vocabularies the lookup is the exact one-hot
+    contraction ``onehot(ids) @ table`` (1.0 x row on the MXU — identical
+    values to a gather, several times faster than TPU's serialised row
+    gather). Backward: XLA's autodiff of a gather is a scatter-add, which
+    serialises on TPU (measured ~90 ms per train step at the flagship
+    shape); the VJP here is the algebraic equivalent one-hot contraction
+    ``dtable = onehot(ids)^T @ dout`` — one small GEMM.
     """
-    return jnp.take(table, ids, axis=0)
+    return _lookup(table, ids)
 
 
 def _embedding_gather_fwd(table, ids):
-    return jnp.take(table, ids, axis=0), (ids, table.shape[0])
+    return _lookup(table, ids), (ids, table.shape[0])
 
 
 def _embedding_gather_bwd(residuals, dout):
