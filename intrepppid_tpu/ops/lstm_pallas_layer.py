@@ -1,7 +1,7 @@
-"""Fused bidirectional LSTM layer — time-major Pallas kernels (v3).
+"""Fused bidirectional LSTM layer — time-major Pallas kernels (v5).
 
-Three layout generations were measured on v5e at the flagship shape
-(B=400, T=1500, H=64), full fwd+bwd for the 2-layer stack:
+Layout generations measured on v5e at the flagship shape (B=400, T=1500,
+H=64), full fwd+bwd for the 2-layer stack:
 
 * v1 (lstm_pallas.py): time-major ``(T, 2, B, 4H)`` recurrence kernel —
   kernel ~10 ms fwd, but the XLA glue (einsum + time flip + transpose to
@@ -9,12 +9,20 @@ Three layout generations were measured on v5e at the flagship shape
 * v2: natural ``(B, T, ·)`` arrays with batch-tiled blocks — no glue, but
   every block DMA becomes ~80 strided 8 KB segments and the per-step matmul
   shrinks to the batch tile. 133 ms total: worse.
-* v3 (this file): **time-major, direction-split** ``(T, B, ·)`` arrays.
-  The input-projection GEMM writes ``(T, B, 4H)`` directly (no transpose),
-  the reverse direction reads mirrored *contiguous* blocks via its index
-  map, outputs stay time-major for the next layer, and ``hn`` needs no
-  rearrangement. The only transpose in the whole encoder is the initial
-  ``x`` to time-major (E=64: ~1 ms). 62.4 ms total.
+* v3: time-major, direction-split ``(T, B, ·)`` arrays; the input-projection
+  GEMM runs in XLA and writes ``(T, B, 4H)`` gate streams the kernels then
+  re-read. 62.4 ms total.
+* v5 (this file): **input projection and input-side gradients fused into
+  the kernels**. The forward kernel reads the raw ``(T, B, E)`` input
+  streams (E = 64/128 vs the 256-wide gate streams) and computes
+  ``x @ W_ih^T + b`` per step on the MXU — the per-step GEMM rides in the
+  shadow of the sweep's fixed cost, while the ``xg`` HBM round-trip
+  (~1.2 GB/layer at the flagship shape, plus ~600 MB of saved residuals)
+  disappears. The backward kernel recomputes the gates the same way and
+  additionally emits ``dx`` per direction (E-wide, not 4H-wide) and
+  accumulates ``dW_ih``/``dbias`` in VMEM scratch — removing the four XLA
+  glue GEMMs (gates fwd, dx, dW_ih, dbias: ~8 ms/step measured via a
+  device profile at the flagship shape).
 
 Structure:
 
@@ -22,29 +30,36 @@ Structure:
   VMEM scratch across each tile's time sweep. Each grid step runs C cell
   steps through an in-kernel ``fori_loop`` (a Python unroll at C=8 blew
   Mosaic compile time to ~8 min; the loop keeps it flat) — C=1 measured
-  ~5 us/grid-step of fixed cost against ~1-2 us of real work, so chunking
-  is the main throughput lever. All time streams (xg in, hs/cs out, dy/dxg)
-  are ``compute_dtype`` — bf16 halves the dominant HBM traffic AND the VMEM
-  block footprint, which is what lets larger C fit; h/c state and all gate
-  math stay f32 in scratch.
+  ~5 us/grid-step of fixed cost against ~1-2 us of real work, and chunking
+  (C>1) measured slower at the flagship shape, so C=1 is the default. All
+  time streams (x parts in, hs/cs out, dy in, dx out) are ``compute_dtype``
+  — bf16 halves the dominant HBM traffic AND the VMEM block footprint; h/c
+  state and all gate math stay f32 in scratch (the input GEMM accumulates
+  f32 on the MXU, so the fused path is *closer* to the f32 scan reference
+  than v3's bf16 XLA gate streams were).
+* the layer input arrives as feature-``parts`` (the 2H inter-layer concat
+  is threaded as two (T,B,H) parts and never materialised); each part is
+  streamed twice per grid step — once per direction, at that direction's
+  position — and concatenated along lanes in-register.
 * per-call weight-dropped recurrent weights (G groups, group-major batch):
   when a tile sits inside one group (Bt <= Bg) its group's weights are
   *streamed* per tile through the BlockSpec index map (so VMEM holds one
-  group's matrices, not all G) and ``dW`` accumulates per tile into a
-  small scratch, emitted per tile and segment-summed by group in XLA —
-  this keeps VMEM independent of G and supports large-H scaled configs.
-  When a tile spans several groups (Bt > Bg; tiny batches), the full
-  weight stack rides along and row-sliced matmuls select groups.
+  group's matrices, not all G) and ``dW_hh`` accumulates per tile into a
+  small scratch, emitted per tile and segment-summed by group in XLA.
+  ``W_ih``/``bias`` are direction-only (not grouped) and stay resident.
 * masking: per-row lengths compared against the global position in-kernel
   (positions >= length freeze the state) — identical semantics to the scan
   path (value + gradient parity enforced by tests).
 * eval forwards (outside autodiff) skip the cell-state output streams —
   one third less output bandwidth for inference.
+
+Replaces the cuDNN LSTM the reference reaches through
+``torch.nn.LSTM(bidirectional=True)`` (`intrepppid/encoders/awd_lstm.py:35-41`).
 """
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -75,23 +90,26 @@ def pick_tiles(
     sb = 2 if compute_dtype == jnp.bfloat16 else 4
     Hp = ((H + 127) // 128) * 128
     H4 = 4 * H
+    Ep = 2 * Hp  # lane-padded bound for the concatenated input parts
     Bg = B // G if G > 0 else B
 
     def vmem(bt: int, c: int) -> int:
         gpt = bt // Bg if bt > Bg else 1
         w_groups = gpt  # weights streamed per tile: exactly the tile's groups
         # double-buffered grid-mapped streams (backward pass is the peak:
-        # xg in + dxg out + hp/cp/dy in)
+        # x parts in x2 dirs + dx out x2 dirs + hp/cp/dy in)
         streams = 2 * (
-            2 * c * bt * H4 * sb
-            + 2 * c * bt * H4 * sb
-            + 6 * c * bt * Hp * sb
+            2 * c * bt * Ep * sb      # x parts, both directions
+            + 2 * c * bt * Ep * sb    # dx, both directions
+            + 6 * c * bt * Hp * sb    # hp/cp (x2 dirs) + dy (x2 dirs)
         )
         fixed = (
             8 * bt * Hp * 4                       # dhn/dcn blocks (dbl)
             + 4 * bt * Hp * 4                     # h/c state scratch
-            + 3 * 2 * gpt * H * H4 * 4            # dw scratch + dbl-buffered out
+            + 3 * 2 * gpt * H * H4 * 4            # dW_hh scratch + dbl out
             + 2 * 2 * 2 * w_groups * H * H4 * sb  # w + wT blocks (dbl)
+            + 3 * 2 * Ep * H4 * 4                 # dW_ih scratch + dbl out
+            + 2 * 2 * 2 * Ep * H4 * sb            # wih + wihT resident (dbl)
         )
         return streams + fixed
 
@@ -130,18 +148,48 @@ def _recur2(h2, w_ref, Bt: int, compute_dtype):
     return out.reshape(2, Bt, H4)
 
 
+def _xg2(parts_f, parts_b, wih_t_ref, bias_ref, compute_dtype):
+    """Input gates for both directions, fused in-kernel.
+
+    ``parts_f``/``parts_b`` are the per-part (Bt, E_i) values at each
+    direction's current position. Returns ``(xg (2,Bt,4H) f32, x2
+    (2,Bt,E) compute_dtype)`` — ``x2`` is reused by the backward kernel's
+    dW_ih accumulation. The MXU accumulates f32; forward and backward run
+    the identical op sequence, so the gate recompute matches bitwise.
+    """
+    xf = parts_f[0] if len(parts_f) == 1 else jnp.concatenate(parts_f, axis=-1)
+    xb = parts_b[0] if len(parts_b) == 1 else jnp.concatenate(parts_b, axis=-1)
+    x2 = jnp.stack([xf, xb]).astype(compute_dtype)
+    # Two plain 2D matmuls, not one batch-2 dot_general: Mosaic's
+    # vector-layout pass (this libtpu) aborts on batched dots whose
+    # per-batch LHS spans several sublane tiles at lane width < 128
+    # ("Check failed: limits[i] <= dim(i)"); 2D GEMMs lower cleanly.
+    xg = jnp.stack(
+        [
+            jax.lax.dot_general(
+                x2[d], wih_t_ref[d], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for d in range(2)
+        ]
+    )
+    return xg + bias_ref[...].astype(jnp.float32)[:, None, :], x2
+
+
 # ------------------------------------------------------------------ forward
 
 def _fwd_kernel(
-    xg_f_ref, xg_b_ref, len_ref, w_ref,
-    *refs,
-    C: int, Bt: int, Bg: int, compute_dtype, with_states: bool,
+    *refs, nparts: int, C: int, Bt: int, compute_dtype, with_states: bool,
 ):
+    parts_f = refs[:nparts]
+    parts_b = refs[nparts : 2 * nparts]
+    len_ref, w_ref, wih_t_ref, bias_ref = refs[2 * nparts : 2 * nparts + 4]
+    rest = refs[2 * nparts + 4 :]
     if with_states:
         (hsf_ref, hsb_ref, csf_ref, csb_ref, hn_ref, cn_ref,
-         h_scr, c_scr) = refs
+         h_scr, c_scr) = rest
     else:
-        (hsf_ref, hsb_ref, hn_ref, cn_ref, h_scr, c_scr) = refs
+        (hsf_ref, hsb_ref, hn_ref, cn_ref, h_scr, c_scr) = rest
         csf_ref = csb_ref = None
 
     t = pl.program_id(1)
@@ -164,7 +212,10 @@ def _fwd_kernel(
                 jnp.where(pos_b < lengths, 1.0, 0.0),
             ]
         ).astype(jnp.float32)  # (2, Bt, 1)
-        xg = jnp.stack([xg_f_ref[s], xg_b_ref[sb]]).astype(jnp.float32)
+        xg, _ = _xg2(
+            [p[s] for p in parts_f], [p[sb] for p in parts_b],
+            wih_t_ref, bias_ref, compute_dtype,
+        )
         gates = xg + _recur2(h_scr[...], w_ref, Bt, compute_dtype)
         h_new, c_new, _ = _cell(gates, c_scr[...])
         h_scr[...] = m * h_new + (1.0 - m) * h_scr[...]
@@ -202,14 +253,29 @@ def _w_spec(B, Bt, G, H, H4, transposed=False):
     )
 
 
-def _fwd_pallas(xg_f, xg_b, lengths, w, *, Bt: int, C: int, G: int,
+def _resident_spec(shape):
+    """Whole-array block pinned at the origin — stays VMEM-resident across
+    the grid (W_ih, bias: direction-only, not grouped)."""
+    zero = (0,) * len(shape)
+    return pl.BlockSpec(shape, lambda b, t: zero, memory_space=pltpu.VMEM)
+
+
+def _part_specs(part_dims: Sequence[int], C: int, Bt: int, imap):
+    return [
+        pl.BlockSpec((C, Bt, E), imap, memory_space=pltpu.VMEM)
+        for E in part_dims
+    ]
+
+
+def _fwd_pallas(x_parts, lengths, w, wih_t, bias, *, Bt: int, C: int, G: int,
                 compute_dtype, with_states: bool):
-    """xg_f/xg_b (Tp,B,4H) f32 (natural position order); lengths (B,1) i32;
-    w (2,G,H,4H). Returns hs_f, hs_b[, cs_f, cs_b] (Tp,B,H), hn, cn (2,B,H)."""
-    Tp, B, H4 = xg_f.shape
-    H = H4 // 4
+    """x_parts: per-part (Tp,B,E_i) time-major inputs; lengths (B,1) i32;
+    w (2,G,H,4H); wih_t (2,E,4H); bias (2,4H) f32.
+    Returns hs_f, hs_b[, cs_f, cs_b] (Tp,B,H), hn, cn (2,B,H)."""
+    Tp, B, _ = x_parts[0].shape
+    H, H4 = w.shape[2], w.shape[3]
+    part_dims = [p.shape[-1] for p in x_parts]
     nB, nT = B // Bt, Tp // C
-    Bg = B // G
 
     fwd = lambda b, t: (t, b, 0)
     mir = lambda b, t: (nT - 1 - t, b, 0)
@@ -234,34 +300,45 @@ def _fwd_pallas(xg_f, xg_b, lengths, w, *, Bt: int, C: int, G: int,
     ]
 
     kernel = functools.partial(
-        _fwd_kernel, C=C, Bt=Bt, Bg=Bg, compute_dtype=compute_dtype,
-        with_states=with_states,
+        _fwd_kernel, nparts=len(x_parts), C=C, Bt=Bt,
+        compute_dtype=compute_dtype, with_states=with_states,
     )
     return pl.pallas_call(
         kernel,
         grid=(nB, nT),
-        in_specs=[
-            pl.BlockSpec((C, Bt, H4), fwd, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, Bt, H4), mir, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, 1), lmap, memory_space=pltpu.VMEM),
-            _w_spec(B, Bt, G, H, H4),
-        ],
+        in_specs=(
+            _part_specs(part_dims, C, Bt, fwd)
+            + _part_specs(part_dims, C, Bt, mir)
+            + [
+                pl.BlockSpec((Bt, 1), lmap, memory_space=pltpu.VMEM),
+                _w_spec(B, Bt, G, H, H4),
+                _resident_spec(wih_t.shape),
+                _resident_spec(bias.shape),
+            ]
+        ),
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((2, Bt, H), jnp.float32) for _ in range(2)],
         interpret=_interpret(),
-    )(xg_f, xg_b, lengths, w)
+    )(*x_parts, *x_parts, lengths, w, wih_t, bias)
 
 
 # ----------------------------------------------------------------- backward
 
 def _bwd_kernel(
-    xg_f_ref, xg_b_ref, len_ref, w_ref, wT_ref,
-    hpf_ref, cpf_ref, hpb_ref, cpb_ref, dyf_ref, dyb_ref, dhn_ref, dcn_ref,
-    dxg_f_ref, dxg_b_ref, dw_tiles_ref,
-    dh_scr, dc_scr, dw_scr,
-    *, C: int, Bt: int, Bg: int, compute_dtype, shift_in_kernel: bool,
+    *refs, nparts: int, C: int, Bt: int, compute_dtype, shift_in_kernel: bool,
 ):
+    parts_f = refs[:nparts]           # mir order (fwd-dir BPTT)
+    parts_b = refs[nparts : 2 * nparts]  # fwd order (bwd-dir BPTT)
+    (len_ref, w_ref, wT_ref, wih_t_ref, wih_ref, bias_ref,
+     hpf_ref, cpf_ref, hpb_ref, cpb_ref, dyf_ref, dyb_ref,
+     dhn_ref, dcn_ref) = refs[2 * nparts : 2 * nparts + 14]
+    outs = refs[2 * nparts + 14 :]
+    dxf_refs = outs[:nparts]
+    dxb_refs = outs[nparts : 2 * nparts]
+    dw_tiles_ref, dwih_tiles_ref, dbias_tiles_ref = outs[2 * nparts : 2 * nparts + 3]
+    dh_scr, dc_scr, dw_scr, dwih_scr, dbias_scr = outs[2 * nparts + 3 :]
+
     t = pl.program_id(1)
     nT = pl.num_programs(1)
 
@@ -270,6 +347,8 @@ def _bwd_kernel(
         dh_scr[...] = dhn_ref[...]
         dc_scr[...] = dcn_ref[...]
         dw_scr[...] = jnp.zeros_like(dw_scr)
+        dwih_scr[...] = jnp.zeros_like(dwih_scr)
+        dbias_scr[...] = jnp.zeros_like(dbias_scr)
 
     lengths = len_ref[...]
     GPT = dw_scr.shape[1]  # groups per tile (1 when tiles sit inside groups)
@@ -298,7 +377,10 @@ def _bwd_kernel(
             )
             h_prev = jnp.where(boundary, 0.0, h_prev)
             c_prev = jnp.where(boundary, 0.0, c_prev)
-        xg = jnp.stack([xg_f_ref[s], xg_b_ref[i]]).astype(jnp.float32)
+        xg, x2 = _xg2(
+            [p[s] for p in parts_f], [p[i] for p in parts_b],
+            wih_t_ref, bias_ref, compute_dtype,
+        )
         gates = xg + _recur2(h_prev, w_ref, Bt, compute_dtype)
         _, c_new, (ig, f, gg_, o) = _cell(gates, c_prev)
 
@@ -320,10 +402,42 @@ def _bwd_kernel(
         dgg = (dc_t * ig) * (1.0 - gg_ * gg_)
         dgo = do * o * (1.0 - o)
         dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=-1) * m
-        dxg_f_ref[s] = dgates[0].astype(dxg_f_ref.dtype)
-        dxg_b_ref[i] = dgates[1].astype(dxg_b_ref.dtype)
-
         dgb = dgates.astype(compute_dtype).reshape(2 * GPT, Bgr, H4)
+
+        # dx = dgates @ W_ih per direction (2D GEMMs; see _xg2's Mosaic note)
+        dgc = dgates.astype(compute_dtype)
+        dx = jnp.stack(
+            [
+                jax.lax.dot_general(
+                    dgc[d], wih_ref[d], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for d in range(2)
+            ]
+        )  # (2, Bt, E_total)
+        offs = 0
+        for p_idx in range(nparts):
+            E = dxf_refs[p_idx].shape[-1]
+            dxf_refs[p_idx][s] = dx[0, :, offs : offs + E].astype(
+                dxf_refs[p_idx].dtype
+            )
+            dxb_refs[p_idx][i] = dx[1, :, offs : offs + E].astype(
+                dxb_refs[p_idx].dtype
+            )
+            offs += E
+
+        # input-weight and bias gradients accumulate in VMEM scratch
+        dwih_scr[...] += jnp.stack(
+            [
+                jax.lax.dot_general(
+                    x2[d], dgc[d], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for d in range(2)
+            ]
+        )  # (2, E_total, 4H)
+        dbias_scr[...] += jnp.sum(dgates, axis=1)
+
         hpb = h_prev.astype(compute_dtype).reshape(2 * GPT, Bgr, H)
         # both directions x all tile groups in ONE batched matmul each
         dhp = jax.lax.dot_general(
@@ -344,14 +458,19 @@ def _bwd_kernel(
         jax.lax.fori_loop(0, C, lambda i, carry: (chunk_step(i), carry)[1], 0)
 
     dw_tiles_ref[0] = dw_scr[...]
+    dwih_tiles_ref[0] = dwih_scr[...]
+    dbias_tiles_ref[0] = dbias_scr[...]
 
 
 def _bwd_pallas(
-    xg_f, xg_b, lengths, w, wT, hp_f, cp_f, hp_b, cp_b, dy_f, dy_b, dhn, dcn,
+    x_parts, lengths, w, wT, wih_t, wih, bias,
+    hp_f, cp_f, hp_b, cp_b, dy_f, dy_b, dhn, dcn,
     *, Bt: int, C: int, G: int, compute_dtype, shift_in_kernel: bool = False,
 ):
-    Tp, B, H4 = xg_f.shape
-    H = H4 // 4
+    Tp, B, _ = x_parts[0].shape
+    H, H4 = w.shape[2], w.shape[3]
+    E_total = wih_t.shape[1]
+    part_dims = [p.shape[-1] for p in x_parts]
     nB, nT = B // Bt, Tp // C
     Bg = B // G
     GPT = Bt // Bg if Bt > Bg else 1
@@ -369,50 +488,81 @@ def _bwd_pallas(
         prev_f, prev_b = mir, fwd
 
     kernel = functools.partial(
-        _bwd_kernel, C=C, Bt=Bt, Bg=Bg, compute_dtype=compute_dtype,
-        shift_in_kernel=shift_in_kernel,
+        _bwd_kernel, nparts=len(x_parts), C=C, Bt=Bt,
+        compute_dtype=compute_dtype, shift_in_kernel=shift_in_kernel,
     )
-    dxg_f, dxg_b, dw_tiles = pl.pallas_call(
+    dx_shape = [
+        jax.ShapeDtypeStruct((Tp, B, E), compute_dtype) for E in part_dims
+    ]
+    out = pl.pallas_call(
         kernel,
         grid=(nB, nT),
-        in_specs=[
-            pl.BlockSpec((C, Bt, H4), mir, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, Bt, H4), fwd, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, 1), lmap, memory_space=pltpu.VMEM),
-            _w_spec(B, Bt, G, H, H4),
-            _w_spec(B, Bt, G, H, H4, transposed=True),
-            pl.BlockSpec((C, Bt, H), prev_f, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, Bt, H), prev_f, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, Bt, H), prev_b, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, Bt, H), prev_b, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, Bt, H), mir, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, Bt, H), fwd, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, Bt, H), onb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, Bt, H), onb, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((C, Bt, H4), mir, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, Bt, H4), fwd, memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 2, GPT, H, H4),
-                lambda b, t: (b, 0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Tp, B, H4), compute_dtype),
-            jax.ShapeDtypeStruct((Tp, B, H4), compute_dtype),
-            jax.ShapeDtypeStruct((nB, 2, GPT, H, H4), jnp.float32),
-        ],
+        in_specs=(
+            _part_specs(part_dims, C, Bt, mir)
+            + _part_specs(part_dims, C, Bt, fwd)
+            + [
+                pl.BlockSpec((Bt, 1), lmap, memory_space=pltpu.VMEM),
+                _w_spec(B, Bt, G, H, H4),
+                _w_spec(B, Bt, G, H, H4, transposed=True),
+                _resident_spec(wih_t.shape),
+                _resident_spec(wih.shape),
+                _resident_spec(bias.shape),
+                pl.BlockSpec((C, Bt, H), prev_f, memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, Bt, H), prev_f, memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, Bt, H), prev_b, memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, Bt, H), prev_b, memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, Bt, H), mir, memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, Bt, H), fwd, memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, Bt, H), onb, memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, Bt, H), onb, memory_space=pltpu.VMEM),
+            ]
+        ),
+        out_specs=(
+            _part_specs(part_dims, C, Bt, mir)
+            + _part_specs(part_dims, C, Bt, fwd)
+            + [
+                pl.BlockSpec(
+                    (1, 2, GPT, H, H4),
+                    lambda b, t: (b, 0, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 2, E_total, H4),
+                    lambda b, t: (b, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 2, H4),
+                    lambda b, t: (b, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ]
+        ),
+        out_shape=(
+            dx_shape
+            + dx_shape
+            + [
+                jax.ShapeDtypeStruct((nB, 2, GPT, H, H4), jnp.float32),
+                jax.ShapeDtypeStruct((nB, 2, E_total, H4), jnp.float32),
+                jax.ShapeDtypeStruct((nB, 2, H4), jnp.float32),
+            ]
+        ),
         scratch_shapes=[
             pltpu.VMEM((2, Bt, H), jnp.float32),
             pltpu.VMEM((2, Bt, H), jnp.float32),
             pltpu.VMEM((2, GPT, H, H4), jnp.float32),
+            pltpu.VMEM((2, E_total, H4), jnp.float32),
+            pltpu.VMEM((2, H4), jnp.float32),
         ],
         interpret=_interpret(),
-    )(xg_f, xg_b, lengths, w, wT, hp_f, cp_f, hp_b, cp_b, dy_f, dy_b, dhn, dcn)
+    )(*x_parts, *x_parts, lengths, w, wT, wih_t, wih, bias,
+      hp_f, cp_f, hp_b, cp_b, dy_f, dy_b, dhn, dcn)
 
-    # reduce per-tile dW into per-group dW in XLA
+    nP = len(x_parts)
+    dxf, dxb = out[:nP], out[nP : 2 * nP]
+    dw_tiles, dwih_tiles, dbias_tiles = out[2 * nP : 2 * nP + 3]
+
+    # reduce per-tile dW_hh into per-group dW in XLA
     if GPT == 1:
         if G == 1:
             dw = jnp.sum(dw_tiles, axis=0)  # (2,1,H,H4) — GPT axis is the G axis
@@ -425,33 +575,18 @@ def _bwd_pallas(
     else:
         # tile b covers groups [b*GPT, (b+1)*GPT): exact partition, no sum
         dw = jnp.swapaxes(dw_tiles, 0, 1).reshape(2, G, H, H4)
-    return dxg_f, dxg_b, dw
+    dwih = jnp.sum(dwih_tiles, axis=0)    # (2, E_total, 4H)
+    dbias = jnp.sum(dbias_tiles, axis=0)  # (2, 4H)
+    return dxf, dxb, dw, dwih, dbias
 
 
 # ----------------------------------------------------------- layer-level op
 
-def _input_gates(x_parts, w_ih, bias, d: int, compute_dtype):
-    """Direction ``d`` input gates (Tp,B,4H) in ``compute_dtype``.
-
-    The GEMM emits ``compute_dtype`` directly (``preferred_element_type``):
-    the MXU still accumulates in f32 internally, but XLA does NOT fuse an
-    explicit f32->bf16 cast into the GEMM epilogue — a separate f32 gates
-    array (2x the bytes) gets materialized and re-read, measured ~1.2 ms
-    extra per direction at (T=1024, B=400). Bias and the multi-part sum are
-    added in ``compute_dtype`` (one extra bf16 rounding, well inside the
-    recurrence's bf16 stream noise).
-    """
-    offs = 0
-    total = bias[d].astype(compute_dtype)[None, None, :]
-    for part in x_parts:
-        E = part.shape[-1]
-        wp = w_ih[d, :, offs : offs + E].astype(compute_dtype)
-        total = total + jnp.einsum(
-            "tbe,ge->tbg", part.astype(compute_dtype), wp,
-            preferred_element_type=compute_dtype,
-        )
-        offs += E
-    return total
+def _wih_operands(w_ih, bias, compute_dtype):
+    """Kernel-ready input-weight operands: ``wih_t (2,E,4H)`` for the gate
+    GEMM, ``wih (2,4H,E)`` for dx, ``bias (2,4H)`` f32."""
+    wih = w_ih.astype(compute_dtype)
+    return jnp.swapaxes(wih, -1, -2), wih, bias.astype(jnp.float32)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
@@ -468,31 +603,31 @@ def pallas_bidir_layer(
     :param lengths: ``(B, 1)`` int32 — positions >= length freeze the state.
     :returns: ``(hs_f (Tp,B,H), hs_b (Tp,B,H), hn (2,B,H), cn (2,B,H))``.
     """
-    xg_f = _input_gates(x_parts, w_ih, bias, 0, compute_dtype)
-    xg_b = _input_gates(x_parts, w_ih, bias, 1, compute_dtype)
+    wih_t, _, bias_f = _wih_operands(w_ih, bias, compute_dtype)
     # eval/primal path: skip the cell-state residual streams
     hs_f, hs_b, hn, cn = _fwd_pallas(
-        xg_f, xg_b, lengths, w_hh_t.astype(compute_dtype),
+        tuple(x_parts), lengths, w_hh_t.astype(compute_dtype), wih_t, bias_f,
         Bt=Bt, C=C, G=G, compute_dtype=compute_dtype, with_states=False,
     )
     return hs_f, hs_b, hn, cn
 
 
 def _layer_fwd(x_parts, w_ih, bias, w_hh_t, lengths, G, compute_dtype, Bt, C):
-    xg_f = _input_gates(x_parts, w_ih, bias, 0, compute_dtype)
-    xg_b = _input_gates(x_parts, w_ih, bias, 1, compute_dtype)
+    wih_t, _, bias_f = _wih_operands(w_ih, bias, compute_dtype)
     hs_f, hs_b, cs_f, cs_b, hn, cn = _fwd_pallas(
-        xg_f, xg_b, lengths, w_hh_t.astype(compute_dtype),
+        tuple(x_parts), lengths, w_hh_t.astype(compute_dtype), wih_t, bias_f,
         Bt=Bt, C=C, G=G, compute_dtype=compute_dtype, with_states=True,
     )
+    # NOTE: no gate streams in the residuals — the backward kernel
+    # recomputes them from the (much narrower) x parts.
     residuals = (
-        tuple(x_parts), w_ih, w_hh_t, lengths, xg_f, xg_b, hs_f, hs_b, cs_f, cs_b
+        tuple(x_parts), w_ih, bias, w_hh_t, lengths, hs_f, hs_b, cs_f, cs_b
     )
     return (hs_f, hs_b, hn, cn), residuals
 
 
 def _layer_bwd(G, compute_dtype, Bt, C, residuals, cots):
-    (x_parts, w_ih, w_hh_t, lengths, xg_f, xg_b, hs_f, hs_b, cs_f, cs_b) = residuals
+    (x_parts, w_ih, bias, w_hh_t, lengths, hs_f, hs_b, cs_f, cs_b) = residuals
     dy_f, dy_b, dhn, dcn = cots
 
     w = w_hh_t.astype(compute_dtype)
@@ -512,55 +647,20 @@ def _layer_bwd(G, compute_dtype, Bt, C, residuals, cots):
         cp_b = jnp.concatenate([cs_b[1:], zero], axis=0)
         shift_in_kernel = False
 
-    dxg_f, dxg_b, dw = _bwd_pallas(
-        xg_f, xg_b, lengths, w, wT, hp_f, cp_f, hp_b, cp_b, dy_f, dy_b, dhn, dcn,
+    wih_t, wih, bias_f = _wih_operands(w_ih, bias, compute_dtype)
+    dxf, dxb, dw, dwih, dbias = _bwd_pallas(
+        x_parts, lengths, w, wT, wih_t, wih, bias_f,
+        hp_f, cp_f, hp_b, cp_b, dy_f, dy_b, dhn, dcn,
         Bt=Bt, C=C, G=G, compute_dtype=compute_dtype,
         shift_in_kernel=shift_in_kernel,
     )
 
-    dxg_fc = dxg_f.astype(compute_dtype)
-    dxg_bc = dxg_b.astype(compute_dtype)
-    dx_parts = []
-    offs = 0
-    for part in x_parts:
-        E = part.shape[-1]
-        wp = w_ih[:, :, offs : offs + E].astype(compute_dtype)
-        # emit the part's dtype straight from the GEMMs — an f32 preferred
-        # type here materializes a full-size f32 dx that the cast then
-        # re-reads (same unfused-epilogue behavior as in _input_gates)
-        pref = part.dtype if part.dtype == compute_dtype else jnp.float32
-        dx = jnp.einsum(
-            "tbg,ge->tbe", dxg_fc, wp[0], preferred_element_type=pref
-        ) + jnp.einsum(
-            "tbg,ge->tbe", dxg_bc, wp[1], preferred_element_type=pref
-        )
-        dx_parts.append(dx.astype(part.dtype))
-        offs += E
-    dw_ih = jnp.concatenate(
-        [
-            jnp.stack(
-                [
-                    jnp.einsum(
-                        "tbg,tbe->ge", dxg_fc, part.astype(compute_dtype),
-                        preferred_element_type=jnp.float32,
-                    ),
-                    jnp.einsum(
-                        "tbg,tbe->ge", dxg_bc, part.astype(compute_dtype),
-                        preferred_element_type=jnp.float32,
-                    ),
-                ]
-            )
-            for part in x_parts
-        ],
-        axis=-1,
-    ).astype(w_ih.dtype)
-    dbias = jnp.stack(
-        [
-            jnp.sum(dxg_f, axis=(0, 1), dtype=jnp.float32),
-            jnp.sum(dxg_b, axis=(0, 1), dtype=jnp.float32),
-        ]
-    ).astype(w_ih.dtype)
-    return tuple(dx_parts), dw_ih, dbias, dw.astype(w_hh_t.dtype), None
+    dx_parts = tuple(
+        (f + b).astype(p.dtype) for f, b, p in zip(dxf, dxb, x_parts)
+    )
+    dw_ih = jnp.swapaxes(dwih, -1, -2).astype(w_ih.dtype)  # (2, 4H, E)
+    dbias = dbias.astype(w_ih.dtype)
+    return dx_parts, dw_ih, dbias, dw.astype(w_hh_t.dtype), None
 
 
 pallas_bidir_layer.defvjp(_layer_fwd, _layer_bwd)
