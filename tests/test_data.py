@@ -192,6 +192,22 @@ class TestDataModule:
 
         assert isinstance(out[0]["p1"], jax.Array)
 
+    def test_host_prefetch_order_and_errors(self):
+        from intrepppid_tpu.data.pipeline import host_prefetch
+
+        assert list(host_prefetch(iter(range(10)), size=2)) == list(range(10))
+
+        def boom():
+            yield 1
+            raise ValueError("upstream failed")
+
+        it = host_prefetch(boom(), size=2)
+        assert next(it) == 1
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="upstream failed"):
+            list(it)
+
 
 class TestLegacyDatasets:
     def test_oma_triplet_csv(self, fixtures, tmp_path):

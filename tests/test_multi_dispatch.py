@@ -86,3 +86,54 @@ def test_group_dispatch_batches_bucket_boundaries():
                            "weight": np.ones(4, np.float32)}, 7)]
     out2 = list(group_dispatch_batches(iter(items2), 2))
     assert out2[0][1] == 1 and out2[1][1] == 7
+
+
+def test_wire_bitplane_roundtrip():
+    """vocab<=512 wire format: uint8 low plane + bit-packed high plane must
+    reconstruct token ids bit-exactly through widen_batch, for both single
+    (B,T) and stacked (K,B,T) batches; non-token keys take the int16 path."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from intrepppid_tpu.train.trainer import compress_batch_for_wire, widen_batch
+
+    rng = np.random.default_rng(0)
+    for shape in [(4, 16), (3, 4, 16)]:
+        toks = rng.integers(0, 512, size=shape).astype(np.int32)
+        toks.reshape(-1)[:4] = [0, 255, 256, 511]  # plane edge cases
+        batch = {
+            "p1": toks, "p2": toks[::-1].copy(), "anchor": toks,
+            "positive": toks, "negative": toks,
+            "label": rng.integers(0, 2, size=shape[:-1]).astype(np.int32),
+            "weight": np.ones(shape[:-1], np.float32),
+        }
+        wire = compress_batch_for_wire(batch, vocab_size=512)
+        assert wire["p1@lo"].dtype == np.uint8
+        assert wire["p1@hi"].shape[-1] == shape[-1] // 8
+        assert wire["label"].dtype == np.int16
+        # wire bytes: ~0.56 B/token vs 4 for int32
+        tok_bytes = sum(
+            wire[k].nbytes for k in wire if "@" in k
+        )
+        assert tok_bytes < 0.6 * sum(batch[k].nbytes / 4 * 2 for k in
+                                     ("p1", "p2", "anchor", "positive", "negative"))
+        out = widen_batch({k: jnp.asarray(v) for k, v in wire.items()})
+        for k in batch:
+            np.testing.assert_array_equal(np.asarray(out[k]), batch[k], err_msg=k)
+        assert out["p1"].dtype == jnp.int32
+
+
+def test_wire_bitplane_gating():
+    """Vocab > 512 or non-multiple-of-8 T falls back to plain int16."""
+    import numpy as np
+
+    from intrepppid_tpu.train.trainer import compress_batch_for_wire
+
+    toks = np.zeros((2, 16), np.int32)
+    wire = compress_batch_for_wire({"p1": toks}, vocab_size=1000)
+    assert wire["p1"].dtype == np.int16
+    wire = compress_batch_for_wire({"p1": np.zeros((2, 15), np.int32)},
+                                   vocab_size=258)
+    assert wire["p1"].dtype == np.int16
+    wire = compress_batch_for_wire({"p1": toks}, vocab_size=None)
+    assert wire["p1"].dtype == np.int16
