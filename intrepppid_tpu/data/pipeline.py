@@ -10,12 +10,71 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Dict, Iterator
+from typing import Callable, Dict, Iterator, Optional
 
 import jax
 import numpy as np
 
 _SENTINEL = object()
+
+
+def _threaded_iter(
+    batches: Iterator,
+    size: int,
+    transform: Optional[Callable] = None,
+) -> Iterator:
+    """Run ``batches`` (optionally mapped through ``transform``) in a
+    background thread with a bounded hand-off queue.
+
+    Shutdown-safe: if the consumer abandons the generator mid-stream
+    (exception in the training loop, partial drain), closing it signals the
+    producer via a stop event and drains the queue, so the thread exits
+    instead of blocking forever in ``q.put`` holding multi-MB batches.
+    Upstream exceptions re-raise in the consumer.
+    """
+    q: queue.Queue = queue.Queue(maxsize=size)
+    err: list = []
+    stop = threading.Event()
+
+    def produce():
+        try:
+            for item in batches:
+                item = transform(item) if transform is not None else item
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except Exception as e:  # propagate into the consumer
+            err.append(e)
+        finally:
+            while not stop.is_set():
+                try:
+                    q.put(_SENTINEL, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    thread = threading.Thread(target=produce, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        while True:  # unblock a producer waiting on a full queue
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def host_prefetch(batches: Iterator, size: int = 2) -> Iterator:
@@ -27,31 +86,10 @@ def host_prefetch(batches: Iterator, size: int = 2) -> Iterator:
     the runtime wire write releases the GIL) — so batch N+2 tokenises
     while batch N+1 streams to HBM and batch N executes. Measured on the
     bench config the single-thread producer serialised those stages
-    (~33 ms/batch = ~17 device pipeline + ~16 host); two stages overlap
-    them (~17 + ~3 ms/batch). Bounded queue ``size`` keeps at most that
-    many batches of host RAM in flight; upstream exceptions re-raise in
-    the consumer.
+    (~33 ms/batch = ~17 device pipeline + ~16 host). Bounded queue ``size``
+    keeps at most that many batches of host RAM in flight.
     """
-    q: queue.Queue = queue.Queue(maxsize=size)
-    err: list = []
-
-    def produce():
-        try:
-            for item in batches:
-                q.put(item)
-        except Exception as e:
-            err.append(e)
-        finally:
-            q.put(_SENTINEL)
-
-    threading.Thread(target=produce, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    return _threaded_iter(batches, size)
 
 
 def prefetch_to_device(
@@ -68,8 +106,6 @@ def prefetch_to_device(
         to pick a stacked sharding for (K, B, ...) dispatch groups);
         None = default device placement.
     """
-    q: queue.Queue = queue.Queue(maxsize=size)
-    err: list = []
     multihost = jax.process_count() > 1
     sharding_fn = sharding if callable(sharding) else (lambda _b: sharding)
 
@@ -87,26 +123,10 @@ def prefetch_to_device(
             return {k: jax.device_put(v, sharding) for k, v in batch.items()}
         return jax.device_put(batch)
 
-    def produce():
-        try:
-            for item in batches:
-                if isinstance(item, tuple):
-                    # (batch, aux) pairs: transfer the batch, pass aux through
-                    q.put((put(item[0]),) + item[1:])
-                else:
-                    q.put(put(item))
-        except Exception as e:  # propagate into the consumer
-            err.append(e)
-        finally:
-            q.put(_SENTINEL)
+    def transform(item):
+        if isinstance(item, tuple):
+            # (batch, aux) pairs: transfer the batch, pass aux through
+            return (put(item[0]),) + item[1:]
+        return put(item)
 
-    thread = threading.Thread(target=produce, daemon=True)
-    thread.start()
-
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    return _threaded_iter(batches, size, transform)

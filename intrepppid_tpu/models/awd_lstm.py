@@ -208,12 +208,10 @@ def apply_encoder(
 
     max_len = group_max_lengths(ids, groups)
 
-    # Embedding lookup in compute_dtype: casting the (tiny) table BEFORE the
-    # gather is value-identical to casting the gathered rows after, but the
-    # (B,T,E) lookup result, its transpose to time-major and the first
-    # input-gate GEMM read all move at half the bytes under bf16.
-    emb_table = params["embedding"].astype(cfg.compute_dtype)
-
+    # Embedding lookup emits compute_dtype rows (the table is cast inside
+    # embedding_gather, so the (B,T,E) result, its time-major transpose and
+    # the first input-gate GEMM all move at half the bytes under bf16 while
+    # the table's gradient stays in the f32 param dtype).
     # Embedding dropout: fresh vocab-row mask per logical call.
     if groups > 1 and train and cfg.embedding_droprate > 0.0:
         G = groups
@@ -223,12 +221,14 @@ def apply_encoder(
         ids_g = ids.reshape(G, Bg, T)
         x = jax.vmap(
             lambda k, i: embedding_dropout(
-                k, emb_table, i, cfg.embedding_droprate, True
+                k, params["embedding"], i, cfg.embedding_droprate, True,
+                out_dtype=cfg.compute_dtype,
             )
         )(emb_keys, ids_g).reshape(B, T, -1)
     else:
         x = embedding_dropout(
-            k_emb, emb_table, ids, cfg.embedding_droprate, train
+            k_emb, params["embedding"], ids, cfg.embedding_droprate, train,
+            out_dtype=cfg.compute_dtype,
         )
 
     needs_groups = groups > 1 and (

@@ -19,6 +19,8 @@ All masks use inverted-dropout scaling ``1/(1-p)`` like
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -78,33 +80,46 @@ def _lookup(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     return rows.reshape(ids.shape + (table.shape[-1],))
 
 
-@jax.custom_vjp
-def embedding_gather(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
-    """``table[ids]`` with an MXU-friendly forward AND backward.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def embedding_gather(
+    table: jnp.ndarray, ids: jnp.ndarray, out_dtype=None
+) -> jnp.ndarray:
+    """``table[ids]`` (rows in ``out_dtype``) with an MXU-friendly forward
+    AND backward.
 
-    Forward: for small vocabularies the lookup is the exact one-hot
-    contraction ``onehot(ids) @ table`` (1.0 x row on the MXU — identical
-    values to a gather, several times faster than TPU's serialised row
-    gather). Backward: XLA's autodiff of a gather is a scatter-add, which
-    serialises on TPU (measured ~90 ms per train step at the flagship
-    shape); the VJP here is the algebraic equivalent one-hot contraction
-    ``dtable = onehot(ids)^T @ dout`` — one small GEMM.
+    Forward: the (tiny) table is cast to ``out_dtype`` first — casting
+    before the lookup is value-identical to casting the gathered rows
+    after, but the (B,T,E) result moves at half the bytes under bf16 —
+    and for small vocabularies the lookup is the exact one-hot contraction
+    ``onehot(ids) @ table`` (1.0 x row on the MXU — identical values to a
+    gather, several times faster than TPU's serialised row gather).
+    Backward: XLA's autodiff of a gather is a scatter-add, which serialises
+    on TPU (measured ~90 ms per train step at the flagship shape); the VJP
+    here is the algebraic equivalent one-hot contraction ``dtable =
+    onehot(ids)^T @ dout`` — one small GEMM, accumulated AND emitted in the
+    table's own dtype (folding the cast into the op keeps the f32 param's
+    gradient f32 instead of rounding the per-row sums through bf16).
     """
-    return _lookup(table, ids)
+    t = table.astype(out_dtype) if out_dtype is not None else table
+    return _lookup(t, ids)
 
 
-def _embedding_gather_fwd(table, ids):
-    return _lookup(table, ids), (ids, table.shape[0])
+def _embedding_gather_fwd(table, ids, out_dtype):
+    t = table.astype(out_dtype) if out_dtype is not None else table
+    # zero-size dtype witness: residual leaves must be JAX values, and the
+    # backward must emit the cotangent in the (f32 param) table's dtype
+    witness = jnp.zeros((0,), table.dtype)
+    return _lookup(t, ids), (ids, table.shape[0], witness)
 
 
-def _embedding_gather_bwd(residuals, dout):
-    ids, vocab = residuals
+def _embedding_gather_bwd(out_dtype, residuals, dout):
+    ids, vocab, witness = residuals
     onehot = jax.nn.one_hot(ids.reshape(-1), vocab, dtype=dout.dtype)
     dtable = jax.lax.dot_general(
         onehot, dout.reshape(-1, dout.shape[-1]),
         (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(dout.dtype)
+    ).astype(witness.dtype)
     return dtable, None
 
 
@@ -118,6 +133,7 @@ def embedding_dropout(
     p: float,
     train: bool,
     padding_idx: int = 0,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """AWD-LSTM embedding dropout: drop whole token *types* per batch.
 
@@ -126,13 +142,15 @@ def embedding_dropout(
     `intrepppid/utils/embedding_do.py:20-44`. The ``padding_idx`` row of a
     torch ``nn.Embedding`` is zero-initialised with masked grads, so we
     force that row to zero in the lookup result for exact equivalence.
+    ``out_dtype`` requests lookup rows in the compute dtype while keeping
+    the table's gradient in the table's own (param) dtype.
     """
     if train and p > 0.0:
         keep = jax.random.bernoulli(key, 1.0 - p, (embedding.shape[0], 1))
         table = jnp.where(keep, embedding / (1.0 - p), 0.0).astype(embedding.dtype)
     else:
         table = embedding
-    out = embedding_gather(table, ids)
+    out = embedding_gather(table, ids, out_dtype)
     if padding_idx is not None:
         out = jnp.where((ids == padding_idx)[..., None], 0.0, out)
     return out

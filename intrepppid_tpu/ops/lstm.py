@@ -215,13 +215,13 @@ def _bilstm_pallas(layers, x, max_len, compute_dtype):
     """
     from intrepppid_tpu.ops.lstm_pallas_layer import pallas_bidir_layer, pick_tiles
 
-    B, T, _ = x.shape
+    B, T, E0 = x.shape
     H = layers[0]["fwd"]["w_hh"].shape[-1]
     grouped0 = layers[0]["fwd"]["w_hh"].ndim == 3
     G0 = layers[0]["fwd"]["w_hh"].shape[0] if grouped0 else 1
     B_orig, pad_rows = B, 0
     lengths_vec = jnp.broadcast_to(jnp.asarray(max_len, jnp.int32), (B,))
-    tiles = pick_tiles(B, T, H, G0, compute_dtype)
+    tiles = pick_tiles(B, T, H, G0, compute_dtype, E=E0)
     if tiles is None and B % max(G0, 1) == 0:
         # Untileable batch (e.g. a tail batch): pad each weight-group's rows
         # to the next multiple of 8 instead of silently dropping to the ~3x
@@ -231,7 +231,7 @@ def _bilstm_pallas(layers, x, max_len, compute_dtype):
         Bg0 = B // G0
         Bg_pad = -(-Bg0 // 8) * 8
         B_pad = Bg_pad * G0
-        tiles = pick_tiles(B_pad, T, H, G0, compute_dtype)
+        tiles = pick_tiles(B_pad, T, H, G0, compute_dtype, E=E0)
         if tiles is not None:
             pad_rows = Bg_pad - Bg0
             x = jnp.pad(

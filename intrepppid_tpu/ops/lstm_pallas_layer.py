@@ -72,7 +72,7 @@ _VMEM_BUDGET = 13 * 1024 * 1024
 
 
 def pick_tiles(
-    B: int, T: int, H: int, G: int, compute_dtype=jnp.float32
+    B: int, T: int, H: int, G: int, compute_dtype=jnp.float32, E: int = 0
 ) -> Optional[Tuple[int, int, int]]:
     """Choose (Bt, C, Tp): batch tile, time chunk, C-padded T.
 
@@ -90,7 +90,9 @@ def pick_tiles(
     sb = 2 if compute_dtype == jnp.bfloat16 else 4
     Hp = ((H + 127) // 128) * 128
     H4 = 4 * H
-    Ep = 2 * Hp  # lane-padded bound for the concatenated input parts
+    # lane-padded bound for the concatenated input parts: layer 0's width is
+    # the embedding dim E (not bounded by H), deeper layers are 2H
+    Ep = max(2 * Hp, ((E + 127) // 128) * 128)
     Bg = B // G if G > 0 else B
 
     def vmem(bt: int, c: int) -> int:

@@ -80,23 +80,24 @@ def compress_batch_for_wire(
 
     * ``vocab_size <= 512`` (the manuscript config is 250/258): token
       arrays split into a uint8 low-byte plane plus a bit-packed high
-      plane — 0.56 bytes/token vs 4 for int32 (~7x less wire).
+      plane — 0.56 bytes/token vs 4 for int32 (~7x less wire). Token
+      windows not divisible by 8 (e.g. the trunc_len=1500 top bucket) are
+      zero-padded up to the next multiple — padded columns are ordinary
+      pad tokens, masked like any other padding downstream.
     * otherwise any int32 array falls back to int16 (ids must fit —
       callers gate on vocab_size < 32768).
 
     ``widen_batch`` is the in-graph inverse; values are bit-exact.
     """
-    planes = (
-        vocab_size is not None
-        and vocab_size <= 512
-        and all(
-            batch[k].shape[-1] % 8 == 0 for k in _TOKEN_KEYS if k in batch
-        )
-    )
+    planes = vocab_size is not None and vocab_size <= 512
     out: Dict[str, np.ndarray] = {}
     for k, v in batch.items():
         if planes and k in _TOKEN_KEYS:
             v32 = v.astype(np.int32)
+            pad = -v32.shape[-1] % 8
+            if pad:
+                width = [(0, 0)] * (v32.ndim - 1) + [(0, pad)]
+                v32 = np.pad(v32, width)
             out[k + "@lo"] = (v32 & 0xFF).astype(np.uint8)
             out[k + "@hi"] = np.packbits(
                 (v32 >> 8).astype(np.uint8), axis=-1, bitorder="little"
@@ -111,6 +112,14 @@ def compress_batch_for_wire(
 def _token_ref(batch: Dict[str, np.ndarray]) -> np.ndarray:
     """The p1 token array under either wire format."""
     return batch["p1"] if "p1" in batch else batch["p1@lo"]
+
+
+def _available_cpus() -> int:
+    """CPUs available to this process (sched affinity), not the machine."""
+    try:
+        return len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        return os.cpu_count() or 1
 
 
 def group_dispatch_batches(it: Iterator, K: int) -> Iterator:
@@ -447,8 +456,9 @@ class Trainer:
             # device-transfer thread so the stages overlap (see
             # data/pipeline.py:host_prefetch). On single-core hosts the
             # extra thread only adds GIL ping-pong to the latency-sensitive
-            # transfer stage (measured ~7% slower), so gate on core count.
-            if (os.cpu_count() or 1) > 1:
+            # transfer stage (measured ~7% slower), so gate on the cores
+            # actually available to THIS process (affinity/cgroup-aware).
+            if _available_cpus() > 1:
                 host_iter = host_prefetch(host_iter, size=self.prefetch)
             batches = prefetch_to_device(
                 host_iter,

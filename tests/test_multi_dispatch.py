@@ -124,16 +124,23 @@ def test_wire_bitplane_roundtrip():
 
 
 def test_wire_bitplane_gating():
-    """Vocab > 512 or non-multiple-of-8 T falls back to plain int16."""
+    """Vocab > 512 falls back to plain int16; non-multiple-of-8 windows
+    (e.g. the trunc_len=1500 top bucket) zero-pad up to the next multiple
+    and round-trip with the pad columns as ordinary pad tokens."""
     import numpy as np
+    import jax.numpy as jnp
 
-    from intrepppid_tpu.train.trainer import compress_batch_for_wire
+    from intrepppid_tpu.train.trainer import compress_batch_for_wire, widen_batch
 
     toks = np.zeros((2, 16), np.int32)
     wire = compress_batch_for_wire({"p1": toks}, vocab_size=1000)
     assert wire["p1"].dtype == np.int16
-    wire = compress_batch_for_wire({"p1": np.zeros((2, 15), np.int32)},
-                                   vocab_size=258)
-    assert wire["p1"].dtype == np.int16
     wire = compress_batch_for_wire({"p1": toks}, vocab_size=None)
     assert wire["p1"].dtype == np.int16
+
+    odd = np.arange(2 * 15).reshape(2, 15).astype(np.int32) % 512
+    wire = compress_batch_for_wire({"p1": odd}, vocab_size=258)
+    assert wire["p1@lo"].shape == (2, 16) and wire["p1@hi"].shape == (2, 2)
+    out = widen_batch({k: jnp.asarray(v) for k, v in wire.items()})
+    np.testing.assert_array_equal(np.asarray(out["p1"][:, :15]), odd)
+    np.testing.assert_array_equal(np.asarray(out["p1"][:, 15]), 0)
