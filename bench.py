@@ -67,7 +67,7 @@ def main():
     # K steps per dispatch — the Trainer's steps_per_dispatch path (verified
     # numerically identical to single-step dispatch in tests); amortises
     # per-dispatch runtime overhead exactly as production training does.
-    K = 5
+    K = 10
 
     def one(carry, inp):
         params, opt_state = carry

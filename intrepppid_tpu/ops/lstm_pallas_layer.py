@@ -228,8 +228,10 @@ def _fwd_kernel(
             csf_ref[s] = c_scr[0].astype(csf_ref.dtype)
             csb_ref[sb] = c_scr[1].astype(csb_ref.dtype)
 
-    if C == 1:
-        chunk_step(0)
+    if C <= 4:
+        # static unroll: literal block indices, no dynamic-slice overhead
+        for s in range(C):
+            chunk_step(s)
     else:
         # fori_loop (not a Python unroll): Mosaic compile time stays flat in C
         jax.lax.fori_loop(
@@ -454,8 +456,9 @@ def _bwd_kernel(
         dh_scr[...] = dhp + dh * (1.0 - m)
         dc_scr[...] = dc_t * f * m + dc * (1.0 - m)
 
-    if C == 1:
-        chunk_step(0)
+    if C <= 4:
+        for i in range(C):
+            chunk_step(i)
     else:
         jax.lax.fori_loop(0, C, lambda i, carry: (chunk_step(i), carry)[1], 0)
 

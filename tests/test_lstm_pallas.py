@@ -205,3 +205,33 @@ def test_untileable_batch_gradients(rng):
     g_p = jax.grad(loss_pallas)(x)
     g_s = jax.grad(loss_scan)(x)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_s), atol=2e-4)
+
+
+def test_chunked_time_c2_matches_scan(rng, monkeypatch):
+    """C=2 static-unroll path (two cell steps per grid iteration,
+    materialized prev-state shifts in backward) must match the scan path
+    in values and gradients."""
+    import intrepppid_tpu.ops.lstm_pallas_layer as LPL
+    from intrepppid_tpu.ops.lstm import _bilstm_pallas
+
+    monkeypatch.setattr(
+        LPL, "pick_tiles", lambda B, T, H, G, cd=jnp.float32, E=0: (B, 2, T)
+    )
+    B, T, H = 8, 12, 8
+    layers = init_lstm_params(jax.random.PRNGKey(7), H, H, 2)
+    x = jnp.asarray(rng.normal(size=(B, T, H)).astype(np.float32))
+    ml = jnp.full((B,), T - 3, jnp.int32)
+
+    def loss_pallas(layers, x):
+        y, hn, cn = _bilstm_pallas(layers, x, ml, jnp.float32)
+        return jnp.sum(y**2) + jnp.sum(hn**2) + jnp.sum(cn**2)
+
+    def loss_scan(layers, x):
+        y, hn, cn = bilstm(layers, x, ml, backend="scan")
+        return jnp.sum(y**2) + jnp.sum(hn**2) + jnp.sum(cn**2)
+
+    vp, gp = jax.value_and_grad(loss_pallas, argnums=(0, 1))(layers, x)
+    vs, gs = jax.value_and_grad(loss_scan, argnums=(0, 1))(layers, x)
+    np.testing.assert_allclose(float(vp), float(vs), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
