@@ -213,7 +213,7 @@ def _bilstm_pallas(layers, x, max_len, compute_dtype):
     two feature-parts and only materialised for the returned ``y``.
     Returns None when the batch is untileable (caller falls back to scan).
     """
-    from intrepppid_tpu.ops.lstm_pallas_layer import pallas_bidir_layer, pick_tiles
+    from intrepppid_tpu.ops.lstm_pallas_layer import pallas_bidir_layer, pick_plan
 
     B, T, E0 = x.shape
     H = layers[0]["fwd"]["w_hh"].shape[-1]
@@ -221,7 +221,7 @@ def _bilstm_pallas(layers, x, max_len, compute_dtype):
     G0 = layers[0]["fwd"]["w_hh"].shape[0] if grouped0 else 1
     B_orig, pad_rows = B, 0
     lengths_vec = jnp.broadcast_to(jnp.asarray(max_len, jnp.int32), (B,))
-    tiles = pick_tiles(B, T, H, G0, compute_dtype, E=E0)
+    tiles = pick_plan(B, T, H, G0, compute_dtype, E=E0)
     if tiles is None and B % max(G0, 1) == 0:
         # Untileable batch (e.g. a tail batch): pad each weight-group's rows
         # to the next multiple of 8 instead of silently dropping to the ~3x
@@ -231,7 +231,7 @@ def _bilstm_pallas(layers, x, max_len, compute_dtype):
         Bg0 = B // G0
         Bg_pad = -(-Bg0 // 8) * 8
         B_pad = Bg_pad * G0
-        tiles = pick_tiles(B_pad, T, H, G0, compute_dtype, E=E0)
+        tiles = pick_plan(B_pad, T, H, G0, compute_dtype, E=E0)
         if tiles is not None:
             pad_rows = Bg_pad - Bg0
             x = jnp.pad(
@@ -245,7 +245,9 @@ def _bilstm_pallas(layers, x, max_len, compute_dtype):
     if tiles is None:
         _warn_scan_fallback(B_orig, T, H, G0)
         return None
-    Bt, C, Tp = tiles
+    # plain 3-tuples (tests / manual tuning) imply the fused plan
+    Bt, C, Tp, *rest = tiles
+    fused = rest[0] if rest else True
 
     # time-major throughout the stack; the only transpose is this one on
     # the E-sized input (and on the returned y if a caller consumes it)
@@ -272,7 +274,7 @@ def _bilstm_pallas(layers, x, max_len, compute_dtype):
             [lp["fwd"]["b_ih"] + lp["fwd"]["b_hh"], lp["bwd"]["b_ih"] + lp["bwd"]["b_hh"]]
         )
         hs_f, hs_b, hn, cn = pallas_bidir_layer(
-            parts, w_ih, bias, w_hh_t, lengths, G, compute_dtype, Bt, C
+            parts, w_ih, bias, w_hh_t, lengths, G, compute_dtype, Bt, C, fused
         )
         parts = (hs_f, hs_b)
         hns.append(hn)

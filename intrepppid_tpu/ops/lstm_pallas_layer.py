@@ -115,7 +115,14 @@ def pick_tiles(
         )
         return streams + fixed
 
-    candidates = sorted(
+    for bt in _bt_candidates(B, Bg):
+        if vmem(bt, 1) <= _VMEM_BUDGET:
+            return bt, 1, T
+    return None
+
+
+def _bt_candidates(B: int, Bg: int):
+    return sorted(
         [
             bt
             for bt in range(8, min(B, 1024) + 1, 8)
@@ -123,9 +130,53 @@ def pick_tiles(
         ],
         reverse=True,
     )
-    for bt in candidates:
+
+
+def _pick_tiles_lite(
+    B: int, T: int, H: int, G: int, compute_dtype=jnp.float32
+) -> Optional[Tuple[int, int, int]]:
+    """Tile choice for the lite (large-H) backward: f32 gate streams in,
+    dgates streams out, no W_ih residency or (2, E, 4H) scratch — VMEM
+    stays bounded as H grows, so configs the fused model rejects (H >= ~192
+    at 13 MB) still run on the kernel path instead of the ~3x scan."""
+    sb = 2 if compute_dtype == jnp.bfloat16 else 4
+    Hp = ((H + 127) // 128) * 128
+    H4 = 4 * H
+    H4p = ((H4 + 127) // 128) * 128
+    Bg = B // G if G > 0 else B
+
+    def vmem(bt: int, c: int) -> int:
+        gpt = bt // Bg if bt > Bg else 1
+        streams = 2 * (
+            2 * c * bt * H4p * 4      # xg in (f32), both directions
+            + 2 * c * bt * H4p * 4    # dgates out (f32), both directions
+            + 6 * c * bt * Hp * sb    # hp/cp (x2 dirs) + dy (x2 dirs)
+        )
+        fixed = (
+            8 * bt * Hp * 4
+            + 4 * bt * Hp * 4
+            + 3 * 2 * gpt * H * H4 * 4
+            + 2 * 2 * 2 * gpt * H * H4 * sb
+        )
+        return streams + fixed
+
+    for bt in _bt_candidates(B, Bg):
         if vmem(bt, 1) <= _VMEM_BUDGET:
             return bt, 1, T
+    return None
+
+
+def pick_plan(
+    B: int, T: int, H: int, G: int, compute_dtype=jnp.float32, E: int = 0
+) -> Optional[Tuple[int, int, int, bool]]:
+    """(Bt, C, Tp, fused): the fully fused kernel plan when its VMEM model
+    fits, else the lite large-H plan, else None (scan fallback)."""
+    tiles = pick_tiles(B, T, H, G, compute_dtype, E)
+    if tiles is not None:
+        return tiles + (True,)
+    tiles = _pick_tiles_lite(B, T, H, G, compute_dtype)
+    if tiles is not None:
+        return tiles + (False,)
     return None
 
 
@@ -324,6 +375,8 @@ def _fwd_pallas(x_parts, lengths, w, wih_t, bias, *, Bt: int, C: int, G: int,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((2, Bt, H), jnp.float32) for _ in range(2)],
         interpret=_interpret(),
+        # each part is passed twice: same array, two BlockSpecs (one per
+        # direction's position order)
     )(*x_parts, *x_parts, lengths, w, wih_t, bias)
 
 
@@ -331,17 +384,34 @@ def _fwd_pallas(x_parts, lengths, w, wih_t, bias, *, Bt: int, C: int, G: int,
 
 def _bwd_kernel(
     *refs, nparts: int, C: int, Bt: int, compute_dtype, shift_in_kernel: bool,
+    fused_input: bool = True,
 ):
     parts_f = refs[:nparts]           # mir order (fwd-dir BPTT)
     parts_b = refs[nparts : 2 * nparts]  # fwd order (bwd-dir BPTT)
-    (len_ref, w_ref, wT_ref, wih_t_ref, wih_ref, bias_ref,
-     hpf_ref, cpf_ref, hpb_ref, cpb_ref, dyf_ref, dyb_ref,
-     dhn_ref, dcn_ref) = refs[2 * nparts : 2 * nparts + 14]
-    outs = refs[2 * nparts + 14 :]
-    dxf_refs = outs[:nparts]
-    dxb_refs = outs[nparts : 2 * nparts]
-    dw_tiles_ref, dwih_tiles_ref, dbias_tiles_ref = outs[2 * nparts : 2 * nparts + 3]
-    dh_scr, dc_scr, dw_scr, dwih_scr, dbias_scr = outs[2 * nparts + 3 :]
+    if fused_input:
+        (len_ref, w_ref, wT_ref, wih_t_ref, wih_ref, bias_ref,
+         hpf_ref, cpf_ref, hpb_ref, cpb_ref, dyf_ref, dyb_ref,
+         dhn_ref, dcn_ref) = refs[2 * nparts : 2 * nparts + 14]
+        outs = refs[2 * nparts + 14 :]
+        dxf_refs = outs[:nparts]
+        dxb_refs = outs[nparts : 2 * nparts]
+        (dw_tiles_ref, dwih_tiles_ref,
+         dbias_tiles_ref) = outs[2 * nparts : 2 * nparts + 3]
+        dh_scr, dc_scr, dw_scr, dwih_scr, dbias_scr = outs[2 * nparts + 3 :]
+    else:
+        # lite mode (large-H configs): parts are the XLA-precomputed gate
+        # streams (parts_f=(xg_f,) at mir order, parts_b=(xg_b,) at fwd
+        # order); the kernel emits masked dgates streams and dW_hh only —
+        # dx/dW_ih/dbias run as XLA GEMMs outside. No W_ih residency, no
+        # (2, E, 4H) scratch: VMEM stays bounded as H grows.
+        (len_ref, w_ref, wT_ref,
+         hpf_ref, cpf_ref, hpb_ref, cpb_ref, dyf_ref, dyb_ref,
+         dhn_ref, dcn_ref) = refs[2 * nparts : 2 * nparts + 11]
+        outs = refs[2 * nparts + 11 :]
+        dgf_ref, dgb_ref, dw_tiles_ref = outs[:3]
+        dh_scr, dc_scr, dw_scr = outs[3:]
+        wih_t_ref = wih_ref = bias_ref = None
+        dwih_scr = dbias_scr = None
 
     t = pl.program_id(1)
     nT = pl.num_programs(1)
@@ -351,8 +421,9 @@ def _bwd_kernel(
         dh_scr[...] = dhn_ref[...]
         dc_scr[...] = dcn_ref[...]
         dw_scr[...] = jnp.zeros_like(dw_scr)
-        dwih_scr[...] = jnp.zeros_like(dwih_scr)
-        dbias_scr[...] = jnp.zeros_like(dbias_scr)
+        if fused_input:
+            dwih_scr[...] = jnp.zeros_like(dwih_scr)
+            dbias_scr[...] = jnp.zeros_like(dbias_scr)
 
     lengths = len_ref[...]
     GPT = dw_scr.shape[1]  # groups per tile (1 when tiles sit inside groups)
@@ -381,10 +452,16 @@ def _bwd_kernel(
             )
             h_prev = jnp.where(boundary, 0.0, h_prev)
             c_prev = jnp.where(boundary, 0.0, c_prev)
-        xg, x2 = _xg2(
-            [p[s] for p in parts_f], [p[i] for p in parts_b],
-            wih_t_ref, bias_ref, compute_dtype,
-        )
+        if fused_input:
+            xg, x2 = _xg2(
+                [p[s] for p in parts_f], [p[i] for p in parts_b],
+                wih_t_ref, bias_ref, compute_dtype,
+            )
+        else:
+            xg = jnp.stack(
+                [parts_f[0][s], parts_b[0][i]]
+            ).astype(jnp.float32)
+            x2 = None
         gates = xg + _recur2(h_prev, w_ref, Bt, compute_dtype)
         _, c_new, (ig, f, gg_, o) = _cell(gates, c_prev)
 
@@ -408,39 +485,43 @@ def _bwd_kernel(
         dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=-1) * m
         dgb = dgates.astype(compute_dtype).reshape(2 * GPT, Bgr, H4)
 
-        # dx = dgates @ W_ih per direction (2D GEMMs; see _xg2's Mosaic note)
-        dgc = dgates.astype(compute_dtype)
-        dx = jnp.stack(
-            [
-                jax.lax.dot_general(
-                    dgc[d], wih_ref[d], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+        if fused_input:
+            # dx = dgates @ W_ih per direction (2D GEMMs; see _xg2's note)
+            dgc = dgates.astype(compute_dtype)
+            dx = jnp.stack(
+                [
+                    jax.lax.dot_general(
+                        dgc[d], wih_ref[d], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    for d in range(2)
+                ]
+            )  # (2, Bt, E_total)
+            offs = 0
+            for p_idx in range(nparts):
+                E = dxf_refs[p_idx].shape[-1]
+                dxf_refs[p_idx][s] = dx[0, :, offs : offs + E].astype(
+                    dxf_refs[p_idx].dtype
                 )
-                for d in range(2)
-            ]
-        )  # (2, Bt, E_total)
-        offs = 0
-        for p_idx in range(nparts):
-            E = dxf_refs[p_idx].shape[-1]
-            dxf_refs[p_idx][s] = dx[0, :, offs : offs + E].astype(
-                dxf_refs[p_idx].dtype
-            )
-            dxb_refs[p_idx][i] = dx[1, :, offs : offs + E].astype(
-                dxb_refs[p_idx].dtype
-            )
-            offs += E
+                dxb_refs[p_idx][i] = dx[1, :, offs : offs + E].astype(
+                    dxb_refs[p_idx].dtype
+                )
+                offs += E
 
-        # input-weight and bias gradients accumulate in VMEM scratch
-        dwih_scr[...] += jnp.stack(
-            [
-                jax.lax.dot_general(
-                    x2[d], dgc[d], (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                for d in range(2)
-            ]
-        )  # (2, E_total, 4H)
-        dbias_scr[...] += jnp.sum(dgates, axis=1)
+            # input-weight and bias gradients accumulate in VMEM scratch
+            dwih_scr[...] += jnp.stack(
+                [
+                    jax.lax.dot_general(
+                        x2[d], dgc[d], (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    for d in range(2)
+                ]
+            )  # (2, E_total, 4H)
+            dbias_scr[...] += jnp.sum(dgates, axis=1)
+        else:
+            dgf_ref[s] = dgates[0].astype(dgf_ref.dtype)
+            dgb_ref[i] = dgates[1].astype(dgb_ref.dtype)
 
         hpb = h_prev.astype(compute_dtype).reshape(2 * GPT, Bgr, H)
         # both directions x all tile groups in ONE batched matmul each
@@ -463,8 +544,9 @@ def _bwd_kernel(
         jax.lax.fori_loop(0, C, lambda i, carry: (chunk_step(i), carry)[1], 0)
 
     dw_tiles_ref[0] = dw_scr[...]
-    dwih_tiles_ref[0] = dwih_scr[...]
-    dbias_tiles_ref[0] = dbias_scr[...]
+    if fused_input:
+        dwih_tiles_ref[0] = dwih_scr[...]
+        dbias_tiles_ref[0] = dbias_scr[...]
 
 
 def _bwd_pallas(
@@ -567,22 +649,100 @@ def _bwd_pallas(
     dxf, dxb = out[:nP], out[nP : 2 * nP]
     dw_tiles, dwih_tiles, dbias_tiles = out[2 * nP : 2 * nP + 3]
 
-    # reduce per-tile dW_hh into per-group dW in XLA
-    if GPT == 1:
-        if G == 1:
-            dw = jnp.sum(dw_tiles, axis=0)  # (2,1,H,H4) — GPT axis is the G axis
-        else:
-            groups = (jnp.arange(nB) * Bt) // Bg
-            dw = jax.ops.segment_sum(
-                dw_tiles[:, :, 0], groups, num_segments=G
-            )  # (G,2,H,H4)
-            dw = jnp.swapaxes(dw, 0, 1)
-    else:
-        # tile b covers groups [b*GPT, (b+1)*GPT): exact partition, no sum
-        dw = jnp.swapaxes(dw_tiles, 0, 1).reshape(2, G, H, H4)
+    dw = _reduce_dw_tiles(dw_tiles, nB, Bt, Bg, G, GPT, H, H4)
     dwih = jnp.sum(dwih_tiles, axis=0)    # (2, E_total, 4H)
     dbias = jnp.sum(dbias_tiles, axis=0)  # (2, 4H)
     return dxf, dxb, dw, dwih, dbias
+
+
+def _reduce_dw_tiles(dw_tiles, nB, Bt, Bg, G, GPT, H, H4):
+    """Per-tile dW_hh -> per-group dW in XLA."""
+    if GPT == 1:
+        if G == 1:
+            return jnp.sum(dw_tiles, axis=0)  # (2,1,H,H4) — GPT axis is G
+        groups = (jnp.arange(nB) * Bt) // Bg
+        dw = jax.ops.segment_sum(
+            dw_tiles[:, :, 0], groups, num_segments=G
+        )  # (G,2,H,H4)
+        return jnp.swapaxes(dw, 0, 1)
+    # tile b covers groups [b*GPT, (b+1)*GPT): exact partition, no sum
+    return jnp.swapaxes(dw_tiles, 0, 1).reshape(2, G, H, H4)
+
+
+def _bwd_pallas_lite(
+    xg_f, xg_b, lengths, w, wT,
+    hp_f, cp_f, hp_b, cp_b, dy_f, dy_b, dhn, dcn,
+    *, Bt: int, C: int, G: int, compute_dtype, shift_in_kernel: bool = False,
+):
+    """Large-H backward sweep: gate streams in, masked dgates streams +
+    dW_hh out. Input-side gradients (dx, dW_ih, dbias) are computed from
+    the returned dgates by XLA GEMMs in ``_layer_bwd`` — MXU-bound at the
+    widths where this mode activates, and VMEM no longer has to hold W_ih
+    operands or a (2, E, 4H) accumulator."""
+    Tp, B, H4 = xg_f.shape
+    H = w.shape[2]
+    nB, nT = B // Bt, Tp // C
+    Bg = B // G
+    GPT = Bt // Bg if Bt > Bg else 1
+
+    mir = lambda b, t: (nT - 1 - t, b, 0)
+    fwd = lambda b, t: (t, b, 0)
+    lmap = lambda b, t: (b, 0)
+    onb = lambda b, t: (0, b, 0)
+    if shift_in_kernel:
+        prev_f = lambda b, t: (jnp.maximum(nT - 2 - t, 0), b, 0)
+        prev_b = lambda b, t: (jnp.minimum(t + 1, nT - 1), b, 0)
+    else:
+        prev_f, prev_b = mir, fwd
+
+    kernel = functools.partial(
+        _bwd_kernel, nparts=1, C=C, Bt=Bt, compute_dtype=compute_dtype,
+        shift_in_kernel=shift_in_kernel, fused_input=False,
+    )
+    xg_spec = pl.BlockSpec((C, Bt, H4), mir, memory_space=pltpu.VMEM)
+    xg_spec_b = pl.BlockSpec((C, Bt, H4), fwd, memory_space=pltpu.VMEM)
+    dgf, dgb, dw_tiles = pl.pallas_call(
+        kernel,
+        grid=(nB, nT),
+        in_specs=[
+            xg_spec,
+            xg_spec_b,
+            pl.BlockSpec((Bt, 1), lmap, memory_space=pltpu.VMEM),
+            _w_spec(B, Bt, G, H, H4),
+            _w_spec(B, Bt, G, H, H4, transposed=True),
+            pl.BlockSpec((C, Bt, H), prev_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Bt, H), prev_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Bt, H), prev_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Bt, H), prev_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Bt, H), mir, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Bt, H), fwd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, Bt, H), onb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, Bt, H), onb, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((C, Bt, H4), mir, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Bt, H4), fwd, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 2, GPT, H, H4),
+                lambda b, t: (b, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, B, H4), xg_f.dtype),
+            jax.ShapeDtypeStruct((Tp, B, H4), xg_f.dtype),
+            jax.ShapeDtypeStruct((nB, 2, GPT, H, H4), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, Bt, H), jnp.float32),
+            pltpu.VMEM((2, Bt, H), jnp.float32),
+            pltpu.VMEM((2, GPT, H, H4), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(xg_f, xg_b, lengths, w, wT, hp_f, cp_f, hp_b, cp_b, dy_f, dy_b, dhn, dcn)
+
+    dw = _reduce_dw_tiles(dw_tiles, nB, Bt, Bg, G, GPT, H, H4)
+    return dgf, dgb, dw
 
 
 # ----------------------------------------------------------- layer-level op
@@ -594,9 +754,28 @@ def _wih_operands(w_ih, bias, compute_dtype):
     return jnp.swapaxes(wih, -1, -2), wih, bias.astype(jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _input_gates(x_parts, w_ih, bias, d: int, compute_dtype, out_dtype):
+    """Direction ``d`` input gates ``(Tp, B, 4H)`` as one XLA GEMM — the
+    lite (large-H) backward's gate recompute. ``out_dtype=f32`` keeps the
+    stream at full accumulator precision so the recomputed gates track the
+    forward kernel's f32-accumulated in-kernel GEMM closely."""
+    offs = 0
+    total = bias[d].astype(out_dtype)[None, None, :]
+    for part in x_parts:
+        E = part.shape[-1]
+        wp = w_ih[d, :, offs : offs + E].astype(compute_dtype)
+        total = total + jnp.einsum(
+            "tbe,ge->tbg", part.astype(compute_dtype), wp,
+            preferred_element_type=out_dtype,
+        )
+        offs += E
+    return total
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def pallas_bidir_layer(
-    x_parts, w_ih, bias, w_hh_t, lengths, G: int, compute_dtype, Bt: int, C: int
+    x_parts, w_ih, bias, w_hh_t, lengths, G: int, compute_dtype, Bt: int,
+    C: int, fused: bool = True,
 ):
     """One fully fused bidirectional LSTM layer, time-major.
 
@@ -617,21 +796,24 @@ def pallas_bidir_layer(
     return hs_f, hs_b, hn, cn
 
 
-def _layer_fwd(x_parts, w_ih, bias, w_hh_t, lengths, G, compute_dtype, Bt, C):
+def _layer_fwd(
+    x_parts, w_ih, bias, w_hh_t, lengths, G, compute_dtype, Bt, C, fused=True
+):
     wih_t, _, bias_f = _wih_operands(w_ih, bias, compute_dtype)
     hs_f, hs_b, cs_f, cs_b, hn, cn = _fwd_pallas(
         tuple(x_parts), lengths, w_hh_t.astype(compute_dtype), wih_t, bias_f,
         Bt=Bt, C=C, G=G, compute_dtype=compute_dtype, with_states=True,
     )
-    # NOTE: no gate streams in the residuals — the backward kernel
-    # recomputes them from the (much narrower) x parts.
+    # NOTE: no gate streams in the residuals — the backward recomputes them
+    # from the (much narrower) x parts (in-kernel when fused, one XLA GEMM
+    # per direction in the lite mode).
     residuals = (
         tuple(x_parts), w_ih, bias, w_hh_t, lengths, hs_f, hs_b, cs_f, cs_b
     )
     return (hs_f, hs_b, hn, cn), residuals
 
 
-def _layer_bwd(G, compute_dtype, Bt, C, residuals, cots):
+def _layer_bwd(G, compute_dtype, Bt, C, fused, residuals, cots):
     (x_parts, w_ih, bias, w_hh_t, lengths, hs_f, hs_b, cs_f, cs_b) = residuals
     dy_f, dy_b, dhn, dcn = cots
 
@@ -652,20 +834,72 @@ def _layer_bwd(G, compute_dtype, Bt, C, residuals, cots):
         cp_b = jnp.concatenate([cs_b[1:], zero], axis=0)
         shift_in_kernel = False
 
-    wih_t, wih, bias_f = _wih_operands(w_ih, bias, compute_dtype)
-    dxf, dxb, dw, dwih, dbias = _bwd_pallas(
-        x_parts, lengths, w, wT, wih_t, wih, bias_f,
+    if fused:
+        wih_t, wih, bias_f = _wih_operands(w_ih, bias, compute_dtype)
+        dxf, dxb, dw, dwih, dbias = _bwd_pallas(
+            x_parts, lengths, w, wT, wih_t, wih, bias_f,
+            hp_f, cp_f, hp_b, cp_b, dy_f, dy_b, dhn, dcn,
+            Bt=Bt, C=C, G=G, compute_dtype=compute_dtype,
+            shift_in_kernel=shift_in_kernel,
+        )
+        dx_parts = tuple(
+            (f + b).astype(p.dtype) for f, b, p in zip(dxf, dxb, x_parts)
+        )
+        dw_ih = jnp.swapaxes(dwih, -1, -2).astype(w_ih.dtype)  # (2, 4H, E)
+        dbias = dbias.astype(w_ih.dtype)
+        return dx_parts, dw_ih, dbias, dw.astype(w_hh_t.dtype), None
+
+    # lite (large-H) mode: gate streams recomputed by XLA, kernel emits
+    # masked dgates, input-side gradients as XLA GEMMs
+    xg_f = _input_gates(x_parts, w_ih, bias, 0, compute_dtype, jnp.float32)
+    xg_b = _input_gates(x_parts, w_ih, bias, 1, compute_dtype, jnp.float32)
+    dxg_f, dxg_b, dw = _bwd_pallas_lite(
+        xg_f, xg_b, lengths, w, wT,
         hp_f, cp_f, hp_b, cp_b, dy_f, dy_b, dhn, dcn,
         Bt=Bt, C=C, G=G, compute_dtype=compute_dtype,
         shift_in_kernel=shift_in_kernel,
     )
 
-    dx_parts = tuple(
-        (f + b).astype(p.dtype) for f, b, p in zip(dxf, dxb, x_parts)
-    )
-    dw_ih = jnp.swapaxes(dwih, -1, -2).astype(w_ih.dtype)  # (2, 4H, E)
-    dbias = dbias.astype(w_ih.dtype)
-    return dx_parts, dw_ih, dbias, dw.astype(w_hh_t.dtype), None
+    dxg_fc = dxg_f.astype(compute_dtype)
+    dxg_bc = dxg_b.astype(compute_dtype)
+    dx_parts = []
+    offs = 0
+    for part in x_parts:
+        E = part.shape[-1]
+        wp = w_ih[:, :, offs : offs + E].astype(compute_dtype)
+        pref = part.dtype if part.dtype == compute_dtype else jnp.float32
+        dx = jnp.einsum(
+            "tbg,ge->tbe", dxg_fc, wp[0], preferred_element_type=pref
+        ) + jnp.einsum(
+            "tbg,ge->tbe", dxg_bc, wp[1], preferred_element_type=pref
+        )
+        dx_parts.append(dx.astype(part.dtype))
+        offs += E
+    dw_ih = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    jnp.einsum(
+                        "tbg,tbe->ge", dxg_fc, part.astype(compute_dtype),
+                        preferred_element_type=jnp.float32,
+                    ),
+                    jnp.einsum(
+                        "tbg,tbe->ge", dxg_bc, part.astype(compute_dtype),
+                        preferred_element_type=jnp.float32,
+                    ),
+                ]
+            )
+            for part in x_parts
+        ],
+        axis=-1,
+    ).astype(w_ih.dtype)
+    dbias = jnp.stack(
+        [
+            jnp.sum(dxg_f, axis=(0, 1), dtype=jnp.float32),
+            jnp.sum(dxg_b, axis=(0, 1), dtype=jnp.float32),
+        ]
+    ).astype(w_ih.dtype)
+    return tuple(dx_parts), dw_ih, dbias, dw.astype(w_hh_t.dtype), None
 
 
 pallas_bidir_layer.defvjp(_layer_fwd, _layer_bwd)

@@ -93,7 +93,7 @@ def compress_batch_for_wire(
     out: Dict[str, np.ndarray] = {}
     for k, v in batch.items():
         if planes and k in _TOKEN_KEYS:
-            v32 = v.astype(np.int32)
+            v32 = np.asarray(v, dtype=np.int32)  # no copy when already i32
             pad = -v32.shape[-1] % 8
             if pad:
                 width = [(0, 0)] * (v32.ndim - 1) + [(0, pad)]

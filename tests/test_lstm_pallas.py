@@ -235,3 +235,49 @@ def test_chunked_time_c2_matches_scan(rng, monkeypatch):
     np.testing.assert_allclose(float(vp), float(vs), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gs)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_lite_backward_mode_matches_scan(rng, monkeypatch):
+    """Large-H 'lite' plan (fused=False: XLA gate recompute, dgates-stream
+    backward, XLA input gradients) must match the scan path in values and
+    gradients — this is the path H>=~192 configs take."""
+    import intrepppid_tpu.ops.lstm_pallas_layer as LPL
+    from intrepppid_tpu.ops.lstm import _bilstm_pallas
+
+    monkeypatch.setattr(
+        LPL, "pick_plan",
+        lambda B, T, H, G, cd=jnp.float32, E=0: (B, 1, T, False),
+    )
+    from intrepppid_tpu.ops import lstm as L
+
+    B, T, H = 8, 12, 8
+    layers = init_lstm_params(jax.random.PRNGKey(9), H, H, 2)
+    x = jnp.asarray(rng.normal(size=(B, T, H)).astype(np.float32))
+    ml = jnp.full((B,), T - 3, jnp.int32)
+
+    def loss_pallas(layers, x):
+        y, hn, cn = _bilstm_pallas(layers, x, ml, jnp.float32)
+        return jnp.sum(y**2) + jnp.sum(hn**2) + jnp.sum(cn**2)
+
+    def loss_scan(layers, x):
+        y, hn, cn = bilstm(layers, x, ml, backend="scan")
+        return jnp.sum(y**2) + jnp.sum(hn**2) + jnp.sum(cn**2)
+
+    vp, gp = jax.value_and_grad(loss_pallas, argnums=(0, 1))(layers, x)
+    vs, gs = jax.value_and_grad(loss_scan, argnums=(0, 1))(layers, x)
+    np.testing.assert_allclose(float(vp), float(vs), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_pick_plan_modes():
+    """Flagship shapes take the fused plan; H>=192 falls back to the lite
+    plan (not the scan path); tiny-VMEM impossibilities return None."""
+    from intrepppid_tpu.ops.lstm_pallas_layer import pick_plan
+
+    plan = pick_plan(400, 1024, 64, 5, jnp.bfloat16, E=64)
+    assert plan is not None and plan[3] is True
+    plan = pick_plan(200, 512, 256, 5, jnp.bfloat16, E=64)
+    assert plan is not None and plan[3] is False
+    plan = pick_plan(400, 1024, 128, 5, jnp.bfloat16, E=64)
+    assert plan is not None and plan[3] is True
