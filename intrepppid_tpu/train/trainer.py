@@ -265,7 +265,10 @@ class Trainer:
         rep = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)
 
-        def train_step(params, opt_state, batch, key, lr_scale):
+        def train_step(params, opt_state, batch, base_key, step, lr_scale):
+            # key derived in-graph: an eager fold_in per step costs a full
+            # runtime round trip on tunnelled platforms
+            key = jax.random.fold_in(base_key, step)
             batch = widen_batch(batch)
 
             def loss_fn(p):
@@ -280,7 +283,7 @@ class Trainer:
 
         return jax.jit(
             train_step,
-            in_shardings=(rep, rep, data, rep, rep),
+            in_shardings=(rep, rep, data, rep, rep, rep),
             out_shardings=(rep, rep, rep),
             donate_argnums=(0, 1),
         )
@@ -339,11 +342,14 @@ class Trainer:
         rep = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)
 
-        def eval_step(params, batch, key):
+        def eval_step(params, batch, base_key, i):
+            key = jax.random.fold_in(base_key, i)  # in-graph, as in train
             _, aux = net.step(params, widen_batch(batch), key, train=False)
             return aux
 
-        return jax.jit(eval_step, in_shardings=(rep, data, rep), out_shardings=rep)
+        return jax.jit(
+            eval_step, in_shardings=(rep, data, rep, rep), out_shardings=rep
+        )
 
     # -------------------------------------------------------------- logging
     def _log(self, metrics: Dict[str, float], step: int) -> None:
@@ -416,7 +422,7 @@ class Trainer:
             # fresh key per batch: matters only for the always-active
             # variational weight-drop quirk, which the reference re-draws
             # per forward
-            aux = self._eval_step(params, batch, jax.random.fold_in(eval_key, i))
+            aux = self._eval_step(params, batch, eval_key, jnp.int32(i))
             acc.add({k: v for k, v in aux.items()}, true_b)
         metrics = {f"{stage}_{k}": v for k, v in acc.means().items()}
         self._log(metrics, step)
@@ -525,10 +531,9 @@ class Trainer:
                     )
 
             def run_single(batch, true_b):
-                key = jax.random.fold_in(self._base_key, self.global_step)
                 self.params, self.opt_state, aux = self._train_step(
-                    self.params, self.opt_state, batch,
-                    key, jnp.float32(lr_scale),
+                    self.params, self.opt_state, batch, self._base_key,
+                    jnp.int32(self.global_step), jnp.float32(lr_scale),
                 )
                 log_step(aux, true_b)
                 acc.add(aux, true_b)
