@@ -123,27 +123,36 @@ def _available_cpus() -> int:
 
 
 def group_dispatch_batches(it: Iterator, K: int) -> Iterator:
-    """Stack K consecutive same-shape (batch, true_b) numpy pairs host-side
-    into ``(stacked_batch, tuple_of_true_b)`` dispatch groups. One transfer +
-    one dispatch per group; stacking on-device costs ~7 eager launches per
-    group through the runtime. Bucket boundaries and tails flush as single
-    batches (a K'-stack would force a fresh compile per partial length)."""
+    """Stack consecutive same-shape (batch, true_b) numpy pairs host-side
+    into ``(stacked_batch, tuple_of_true_b)`` dispatch groups of up to K.
+    One transfer + one dispatch per group; stacking on-device costs ~7
+    eager launches per group through the runtime. Bucket boundaries and
+    epoch tails flush as one partial K'-stack (not K' single dispatches) —
+    each distinct K' compiles once, cheaply, since the kernels are already
+    cached, and a 25-batch epoch then costs 3 dispatches at K=10, not 7."""
+
+    def flush(buf):
+        if len(buf) == 1:
+            yield buf[0]
+        elif buf:
+            stacked = {
+                k: np.stack([b[k] for b, _ in buf]) for k in buf[0][0]
+            }
+            yield (stacked, tuple(tb for _, tb in buf))
+
     buf: list = []
     for batch, true_b in it:
         if buf and (
             _token_ref(buf[0][0]).shape != _token_ref(batch).shape
             or buf[0][0].keys() != batch.keys()
         ):
-            yield from buf
+            yield from flush(buf)
             buf = []
         buf.append((batch, true_b))
         if len(buf) == K:
-            stacked = {
-                k: np.stack([b[k] for b, _ in buf]) for k in buf[0][0]
-            }
-            yield (stacked, tuple(tb for _, tb in buf))
+            yield from flush(buf)
             buf = []
-    yield from buf
+    yield from flush(buf)
 
 
 def resolve_steps_per_dispatch(value: Optional[int]) -> int:

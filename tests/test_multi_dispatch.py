@@ -53,8 +53,9 @@ def test_multi_dispatch_matches_single(fixtures):
 
 
 def test_steps_per_dispatch_platform_default():
-    """None resolves platform-aware (VERDICT r1 weak #5): 5 on tpu/axon
-    (amortises ~45 ms dispatch), 1 on cpu; explicit values pass through."""
+    """None resolves platform-aware (VERDICT r1 weak #5): 10 on tpu/axon
+    (amortises ~45 ms dispatch; measured knee), 1 on cpu; explicit values
+    pass through."""
     from intrepppid_tpu.train.trainer import resolve_steps_per_dispatch
 
     assert resolve_steps_per_dispatch(3) == 3
@@ -64,8 +65,8 @@ def test_steps_per_dispatch_platform_default():
 
 
 def test_group_dispatch_batches_bucket_boundaries():
-    """Mixed-shape sequences: full K-groups stack; bucket boundaries and
-    tails flush as singles, preserving order."""
+    """Mixed-shape sequences: full K-groups stack; 1-element boundary and
+    tail flushes stay single batches, preserving order."""
     import numpy as np
 
     from intrepppid_tpu.train.trainer import group_dispatch_batches
@@ -144,3 +145,24 @@ def test_wire_bitplane_gating():
     out = widen_batch({k: jnp.asarray(v) for k, v in wire.items()})
     np.testing.assert_array_equal(np.asarray(out["p1"][:, :15]), odd)
     np.testing.assert_array_equal(np.asarray(out["p1"][:, 15]), 0)
+
+
+def test_group_dispatch_partial_tail_stacks():
+    """Epoch tails and bucket boundaries flush as ONE partial K'-stack,
+    not K' single dispatches (each dispatch is a runtime round trip)."""
+    import numpy as np
+
+    from intrepppid_tpu.train.trainer import group_dispatch_batches
+
+    def mk(T, v):
+        return {"p1": np.full((4, T), v, np.int32)}, v
+
+    out = list(group_dispatch_batches(iter([mk(16, i) for i in range(1, 6)]), 3))
+    assert out[0][1] == (1, 2, 3) and out[0][0]["p1"].shape == (3, 4, 16)
+    assert out[1][1] == (4, 5) and out[1][0]["p1"].shape == (2, 4, 16)
+
+    # boundary flush: 2 same-shape then a shape change
+    items = [mk(16, 1), mk(16, 2), mk(32, 3)]
+    out = list(group_dispatch_batches(iter(items), 5))
+    assert out[0][1] == (1, 2) and out[0][0]["p1"].shape == (2, 4, 16)
+    assert out[1][1] == 3 and out[1][0]["p1"].shape == (4, 32)
