@@ -125,8 +125,12 @@ class Eval:
         data_sh = batch_sharding(mesh)
         params = jax.device_put(params, rep)
 
+        from intrepppid_tpu.train.trainer import compress_batch_for_wire, widen_batch
+
         eval_step = jax.jit(
-            lambda p, b: triplet_step(p, net.cfg, b, jax.random.PRNGKey(0), False)[1],
+            lambda p, b: triplet_step(
+                p, net.cfg, widen_batch(b), jax.random.PRNGKey(0), False
+            )[1],
             in_shardings=(rep, data_sh),
             out_shardings=rep,
         )
@@ -138,6 +142,9 @@ class Eval:
         acc = EpochAccumulator()
         for batch in batches:
             batch, true_b = pad_batch_to_multiple(batch, n_devices)
+            # bit-plane wire format (see trainer): bytes are wall time on
+            # the tunnelled host->device path, widened in-graph bit-exactly
+            batch = compress_batch_for_wire(batch, vocab_size)
             batch = {k: jax.device_put(v, data_sh) for k, v in batch.items()}
             aux = eval_step(params, batch)
             acc.add(aux, true_b)

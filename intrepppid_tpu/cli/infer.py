@@ -231,7 +231,21 @@ class Infer:
         )
         params = _load_params(weights_path, net)
 
-        forward = jax.jit(lambda xa, xb: net.forward(params, xa, xb, train=False))
+        # tokens cross the host->device wire in the bit-plane format (the
+        # tunnel moves ~30 MB/s, so wire bytes are wall time at proteome
+        # scale); widened in-graph, bit-exact
+        from intrepppid_tpu.train.trainer import compress_batch_for_wire, widen_batch
+
+        def _forward_wire(wire):
+            b = widen_batch(wire)
+            return net.forward(params, b["p1"], b["p2"], train=False)
+
+        forward_wire = jax.jit(_forward_wire)
+
+        def forward(xa, xb):
+            return forward_wire(
+                compress_batch_for_wire({"p1": xa, "p2": xb}, vocab_size)
+            )
 
         # ------------------------------------------------------ batched IO
         opener = gzip.open if str(interactions_path).endswith(".gz") else open
@@ -250,7 +264,7 @@ class Infer:
             T = next((b for b in buckets if maxlen <= b), trunc_len)
             xa = np.stack([ea[:T] for _, ea, _ in rows_buf])
             xb = np.stack([eb[:T] for _, _, eb in rows_buf])
-            logits = forward(jnp.asarray(xa), jnp.asarray(xb))
+            logits = forward(xa, xb)
             probs = np.asarray(jax.nn.sigmoid(logits)).reshape(-1)
             for (itx_id, _, _), p in zip(rows_buf, probs):
                 writer.writerow({"itx_id": itx_id, "probability": float(p)})
