@@ -281,3 +281,38 @@ def test_pick_plan_modes():
     assert plan is not None and plan[3] is False
     plan = pick_plan(400, 1024, 128, 5, jnp.bfloat16, E=64)
     assert plan is not None and plan[3] is True
+
+
+@pytest.mark.parametrize("fused", [True, False])
+def test_bf16_kernel_tracks_f32_scan(rng, monkeypatch, fused):
+    """bf16 is the production compute dtype: the Pallas path (fused and
+    lite) at bf16 must track the f32 scan reference within bf16-scale
+    tolerance, values and input gradient."""
+    import intrepppid_tpu.ops.lstm_pallas_layer as LPL
+    from intrepppid_tpu.ops.lstm import _bilstm_pallas
+
+    monkeypatch.setattr(
+        LPL, "pick_plan",
+        lambda B, T, H, G, cd=jnp.float32, E=0, f=fused: (B, 1, T, f),
+    )
+    B, T, H = 8, 12, 8
+    layers = init_lstm_params(jax.random.PRNGKey(11), H, H, 2)
+    x = jnp.asarray(rng.normal(size=(B, T, H)).astype(np.float32))
+    ml = jnp.full((B,), T - 2, jnp.int32)
+
+    def loss_pallas(x):
+        y, hn, _ = _bilstm_pallas(layers, x, ml, jnp.bfloat16)
+        return jnp.sum(y.astype(jnp.float32) ** 2) + jnp.sum(hn**2)
+
+    def loss_scan(x):
+        y, hn, _ = bilstm(layers, x, ml, backend="scan")
+        return jnp.sum(y**2) + jnp.sum(hn**2)
+
+    vp, gp = jax.value_and_grad(loss_pallas)(x)
+    vs, gs = jax.value_and_grad(loss_scan)(x)
+    np.testing.assert_allclose(float(vp), float(vs), rtol=0.05)
+    # gradient direction must agree; magnitudes within bf16-scale noise
+    denom = np.maximum(np.abs(np.asarray(gs)), 1e-2)
+    rel = np.abs(np.asarray(gp) - np.asarray(gs)) / denom
+    assert float(np.median(rel)) < 0.05
+    assert float(np.max(rel)) < 0.6
