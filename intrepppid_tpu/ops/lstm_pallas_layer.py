@@ -87,81 +87,114 @@ def pick_tiles(
     where a batch doesn't fill the VPU (callers can tune via this function).
     Returns None if B is untileable (caller falls back to the scan path).
     """
-    sb = 2 if compute_dtype == jnp.bfloat16 else 4
-    Hp = ((H + 127) // 128) * 128
-    H4 = 4 * H
-    # lane-padded bound for the concatenated input parts: layer 0's width is
-    # the embedding dim E (not bounded by H), deeper layers are 2H
-    Ep = max(2 * Hp, ((E + 127) // 128) * 128)
-    Bg = B // G if G > 0 else B
+    dims = _PlanDims(B, H, G, compute_dtype, E)
 
     def vmem(bt: int, c: int) -> int:
-        gpt = bt // Bg if bt > Bg else 1
-        w_groups = gpt  # weights streamed per tile: exactly the tile's groups
-        # double-buffered grid-mapped streams (backward pass is the peak:
-        # x parts in x2 dirs + dx out x2 dirs + hp/cp/dy in)
+        # backward pass is the peak: x parts in x2 dirs + dx out x2 dirs +
+        # hp/cp/dy in, plus the input-weight operands and dW_ih accumulator
         streams = 2 * (
-            2 * c * bt * Ep * sb      # x parts, both directions
-            + 2 * c * bt * Ep * sb    # dx, both directions
-            + 6 * c * bt * Hp * sb    # hp/cp (x2 dirs) + dy (x2 dirs)
+            2 * c * bt * dims.Ep * dims.sb    # x parts, both directions
+            + 2 * c * bt * dims.Ep * dims.sb  # dx, both directions
+            + 6 * c * bt * dims.Hp * dims.sb  # hp/cp (x2) + dy (x2)
         )
         fixed = (
-            8 * bt * Hp * 4                       # dhn/dcn blocks (dbl)
-            + 4 * bt * Hp * 4                     # h/c state scratch
-            + 3 * 2 * gpt * H * H4 * 4            # dW_hh scratch + dbl out
-            + 2 * 2 * 2 * w_groups * H * H4 * sb  # w + wT blocks (dbl)
-            + 3 * 2 * Ep * H4 * 4                 # dW_ih scratch + dbl out
-            + 2 * 2 * 2 * Ep * H4 * sb            # wih + wihT resident (dbl)
+            dims.fixed(bt)
+            + 3 * 2 * dims.Ep * dims.H4 * 4          # dW_ih scratch + dbl out
+            + 2 * 2 * 2 * dims.Ep * dims.H4 * dims.sb  # wih + wihT (dbl)
         )
         return streams + fixed
 
-    for bt in _bt_candidates(B, Bg):
+    for bt in dims.candidates():
         if vmem(bt, 1) <= _VMEM_BUDGET:
             return bt, 1, T
     return None
 
 
-def _bt_candidates(B: int, Bg: int):
-    return sorted(
-        [
-            bt
-            for bt in range(8, min(B, 1024) + 1, 8)
-            if B % bt == 0 and (Bg % bt == 0 or bt % Bg == 0)
-        ],
-        reverse=True,
-    )
+class _PlanDims:
+    """Shared geometry for the kernel VMEM models (one source of truth for
+    the terms common to the fused, lite-backward and fused-forward costs)."""
+
+    def __init__(self, B, H, G, compute_dtype, E):
+        self.sb = 2 if compute_dtype == jnp.bfloat16 else 4
+        self.Hp = ((H + 127) // 128) * 128
+        self.H = H
+        self.H4 = 4 * H
+        self.H4p = ((self.H4 + 127) // 128) * 128
+        # lane-padded bound for the concatenated input parts: layer 0's
+        # width is the embedding dim E (not bounded by H), deeper layers 2H
+        self.Ep = max(2 * self.Hp, ((E + 127) // 128) * 128)
+        self.B = B
+        self.Bg = B // G if G > 0 else B
+
+    def gpt(self, bt: int) -> int:
+        return bt // self.Bg if bt > self.Bg else 1
+
+    def common(self, bt: int) -> int:
+        """Every sweep pays: hn/cn-style (2,Bt,H) blocks (dbl) + two
+        (2,Bt,H) f32 state scratches."""
+        return 8 * bt * self.Hp * 4 + 4 * bt * self.Hp * 4
+
+    def w_stream(self, bt: int, n_mats: int) -> int:
+        """n per-tile streamed recurrent weight matrices, double-buffered
+        (forward uses w only; backward also wT)."""
+        return n_mats * 2 * 2 * self.gpt(bt) * self.H * self.H4 * self.sb
+
+    def dw_terms(self, bt: int) -> int:
+        """Backward-only dW_hh scratch + double-buffered tile output."""
+        return 3 * 2 * self.gpt(bt) * self.H * self.H4 * 4
+
+    def fixed(self, bt: int) -> int:
+        """The fused-backward fixed terms (the historical peak model)."""
+        return self.common(bt) + self.dw_terms(bt) + self.w_stream(bt, 2)
+
+    def fwd_fused(self, bt: int, c: int) -> int:
+        """The (always input-fused) forward sweep with state outputs: no
+        dW scratch, w only (no wT), wih_t resident."""
+        streams = 2 * (
+            2 * c * bt * self.Ep * self.sb    # x parts, both directions
+            + 4 * c * bt * self.Hp * self.sb  # hs/cs out, both directions
+        )
+        return (
+            streams
+            + self.common(bt)
+            + self.w_stream(bt, 1)
+            + 2 * 2 * self.Ep * self.H4 * self.sb  # wih_t (dbl)
+        )
+
+    def candidates(self):
+        return sorted(
+            [
+                bt
+                for bt in range(8, min(self.B, 1024) + 1, 8)
+                if self.B % bt == 0
+                and (self.Bg % bt == 0 or bt % self.Bg == 0)
+            ],
+            reverse=True,
+        )
 
 
 def _pick_tiles_lite(
-    B: int, T: int, H: int, G: int, compute_dtype=jnp.float32
+    B: int, T: int, H: int, G: int, compute_dtype=jnp.float32, E: int = 0
 ) -> Optional[Tuple[int, int, int]]:
     """Tile choice for the lite (large-H) backward: f32 gate streams in,
-    dgates streams out, no W_ih residency or (2, E, 4H) scratch — VMEM
-    stays bounded as H grows, so configs the fused model rejects (H >= ~192
-    at 13 MB) still run on the kernel path instead of the ~3x scan."""
-    sb = 2 if compute_dtype == jnp.bfloat16 else 4
-    Hp = ((H + 127) // 128) * 128
-    H4 = 4 * H
-    H4p = ((H4 + 127) // 128) * 128
-    Bg = B // G if G > 0 else B
+    dgates streams out, no W_ih residency or (2, E, 4H) scratch in the
+    backward — VMEM stays bounded as H grows, so configs the fused model
+    rejects (H >= ~192 at 13 MB) still run on the kernel path instead of
+    the ~3x scan. The forward is STILL the input-fused kernel, so the plan
+    must fit its (E-dependent) footprint too — otherwise huge-E configs
+    would trade the graceful scan fallback for a Mosaic VMEM error."""
+    dims = _PlanDims(B, H, G, compute_dtype, E)
 
-    def vmem(bt: int, c: int) -> int:
-        gpt = bt // Bg if bt > Bg else 1
+    def bwd(bt: int, c: int) -> int:
         streams = 2 * (
-            2 * c * bt * H4p * 4      # xg in (f32), both directions
-            + 2 * c * bt * H4p * 4    # dgates out (f32), both directions
-            + 6 * c * bt * Hp * sb    # hp/cp (x2 dirs) + dy (x2 dirs)
+            2 * c * bt * dims.H4p * 4    # xg in (f32), both directions
+            + 2 * c * bt * dims.H4p * 4  # dgates out (f32), both directions
+            + 6 * c * bt * dims.Hp * dims.sb
         )
-        fixed = (
-            8 * bt * Hp * 4
-            + 4 * bt * Hp * 4
-            + 3 * 2 * gpt * H * H4 * 4
-            + 2 * 2 * 2 * gpt * H * H4 * sb
-        )
-        return streams + fixed
+        return streams + dims.fixed(bt)
 
-    for bt in _bt_candidates(B, Bg):
-        if vmem(bt, 1) <= _VMEM_BUDGET:
+    for bt in dims.candidates():
+        if max(bwd(bt, 1), dims.fwd_fused(bt, 1)) <= _VMEM_BUDGET:
             return bt, 1, T
     return None
 
@@ -174,7 +207,7 @@ def pick_plan(
     tiles = pick_tiles(B, T, H, G, compute_dtype, E)
     if tiles is not None:
         return tiles + (True,)
-    tiles = _pick_tiles_lite(B, T, H, G, compute_dtype)
+    tiles = _pick_tiles_lite(B, T, H, G, compute_dtype, E)
     if tiles is not None:
         return tiles + (False,)
     return None

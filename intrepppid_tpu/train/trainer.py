@@ -80,16 +80,22 @@ def compress_batch_for_wire(
 
     * ``vocab_size <= 512`` (the manuscript config is 250/258): token
       arrays split into a uint8 low-byte plane plus a bit-packed high
-      plane — 0.56 bytes/token vs 4 for int32 (~7x less wire). Token
+      plane — 1.125 bytes/token vs 4 for int32 (~3.6x less wire). Token
       windows not divisible by 8 (e.g. the trunc_len=1500 top bucket) are
       zero-padded up to the next multiple — padded columns are ordinary
       pad tokens, masked like any other padding downstream.
-    * otherwise any int32 array falls back to int16 (ids must fit —
-      callers gate on vocab_size < 32768).
+    * ``vocab_size < 32768``: int32 arrays fall back to int16 (2x).
+    * otherwise (including ``vocab_size=None``) the batch passes through
+      unchanged — ids that don't provably fit int16 must never be
+      narrowed (wraparound would silently corrupt the lookup).
 
-    ``widen_batch`` is the in-graph inverse; values are bit-exact.
+    The gate lives HERE so every call site (Trainer, eval CLI, infer CLI)
+    is safe by construction. ``widen_batch`` is the in-graph inverse;
+    values are bit-exact.
     """
-    planes = vocab_size is not None and vocab_size <= 512
+    if vocab_size is None or vocab_size >= 32768:
+        return batch
+    planes = vocab_size <= 512
     out: Dict[str, np.ndarray] = {}
     for k, v in batch.items():
         if planes and k in _TOKEN_KEYS:
@@ -127,9 +133,12 @@ def group_dispatch_batches(it: Iterator, K: int) -> Iterator:
     into ``(stacked_batch, tuple_of_true_b)`` dispatch groups of up to K.
     One transfer + one dispatch per group; stacking on-device costs ~7
     eager launches per group through the runtime. Bucket boundaries and
-    epoch tails flush as one partial K'-stack (not K' single dispatches) —
-    each distinct K' compiles once, cheaply, since the kernels are already
-    cached, and a 25-batch epoch then costs 3 dispatches at K=10, not 7."""
+    epoch tails flush as one partial K'-stack (not K' single dispatches):
+    a 25-batch epoch then costs 3 dispatches at K=10, not 7. Each distinct
+    K' compiles a K'-step scan executable ONCE PER RUN (~10 s with the
+    Pallas kernels already cached; at most one K' per bucket plus the
+    epoch tail, identical across epochs) — amortised over a training run,
+    but a cost to know about for one-epoch smoke runs with many buckets."""
 
     def flush(buf):
         if len(buf) == 1:
@@ -421,11 +430,9 @@ class Trainer:
         acc = EpochAccumulator()
         eval_key = jax.random.PRNGKey(self.seed + 17)
         vocab = self.net.cfg.encoder.vocab_size
-        compress = vocab < 32768
         for i, batch in enumerate(batches):
             batch, true_b = pad_batch_to_multiple(batch, self.n_devices)
-            if compress:
-                batch = compress_batch_for_wire(batch, vocab)
+            batch = compress_batch_for_wire(batch, vocab)  # self-gating
             if jax.process_count() > 1:
                 batch = put_global_batch(self.mesh, batch)
             # fresh key per batch: matters only for the always-active
@@ -454,14 +461,11 @@ class Trainer:
             n_samples = 0
 
             vocab = self.net.cfg.encoder.vocab_size
-            compress = vocab < 32768
 
             def padded(it):
                 for b in it:
                     b, true_b = pad_batch_to_multiple(b, self.n_devices)
-                    if compress:
-                        b = compress_batch_for_wire(b, vocab)
-                    yield b, true_b
+                    yield compress_batch_for_wire(b, vocab), true_b
 
             sdata = stacked_batch_sharding(self.mesh)
             host_iter = padded(data_module.train_batches(epoch))

@@ -281,6 +281,10 @@ def test_pick_plan_modes():
     assert plan is not None and plan[3] is False
     plan = pick_plan(400, 1024, 128, 5, jnp.bfloat16, E=64)
     assert plan is not None and plan[3] is True
+    # huge-E: the forward (always input-fused) can't fit either, so the
+    # answer must be the graceful None/scan fallback, not a lite plan
+    # that would die in the Mosaic VMEM allocator at compile time
+    assert pick_plan(400, 1024, 192, 5, jnp.bfloat16, E=4096) is None
 
 
 @pytest.mark.parametrize("fused", [True, False])

@@ -112,7 +112,7 @@ def test_wire_bitplane_roundtrip():
         assert wire["p1@lo"].dtype == np.uint8
         assert wire["p1@hi"].shape[-1] == shape[-1] // 8
         assert wire["label"].dtype == np.int16
-        # wire bytes: ~0.56 B/token vs 4 for int32
+        # wire bytes: 1.125 B/token vs 4 for int32
         tok_bytes = sum(
             wire[k].nbytes for k in wire if "@" in k
         )
@@ -125,9 +125,11 @@ def test_wire_bitplane_roundtrip():
 
 
 def test_wire_bitplane_gating():
-    """Vocab > 512 falls back to plain int16; non-multiple-of-8 windows
-    (e.g. the trunc_len=1500 top bucket) zero-pad up to the next multiple
-    and round-trip with the pad columns as ordinary pad tokens."""
+    """Vocab in (512, 32768) falls back to plain int16; unknown or huge
+    vocabularies pass through untouched (narrowing would wrap ids >= 2^15
+    and silently corrupt the lookup); non-multiple-of-8 windows (e.g. the
+    trunc_len=1500 top bucket) zero-pad up to the next multiple and
+    round-trip with the pad columns as ordinary pad tokens."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -136,8 +138,12 @@ def test_wire_bitplane_gating():
     toks = np.zeros((2, 16), np.int32)
     wire = compress_batch_for_wire({"p1": toks}, vocab_size=1000)
     assert wire["p1"].dtype == np.int16
-    wire = compress_batch_for_wire({"p1": toks}, vocab_size=None)
-    assert wire["p1"].dtype == np.int16
+    # no-narrowing guard: ids that may not fit int16 must pass through
+    big = np.full((2, 16), 40000, np.int32)
+    for vs in (None, 40000):
+        wire = compress_batch_for_wire({"p1": big}, vocab_size=vs)
+        assert wire["p1"].dtype == np.int32
+        np.testing.assert_array_equal(wire["p1"], big)
 
     odd = np.arange(2 * 15).reshape(2, 15).astype(np.int32) % 512
     wire = compress_batch_for_wire({"p1": odd}, vocab_size=258)
