@@ -172,3 +172,37 @@ def test_group_dispatch_partial_tail_stacks():
     out = list(group_dispatch_batches(iter(items), 5))
     assert out[0][1] == (1, 2) and out[0][0]["p1"].shape == (2, 4, 16)
     assert out[1][1] == 3 and out[1][0]["p1"].shape == (4, 32)
+
+
+def test_eval_dispatch_stacking_matches_single(fixtures):
+    """Stacked eval (scan over K batches) must produce identical epoch
+    metrics to per-batch eval dispatch — same per-batch keys, same
+    batch-size-weighted aggregation."""
+    from intrepppid_tpu.data.ppi_oma import IntrepppidDataModule
+    from intrepppid_tpu.models.factory import intrepppid_network
+    from intrepppid_tpu.train.trainer import Trainer
+
+    results = {}
+    for spd in (1, 3):
+        # fresh datamodule per variant: the seeded ambiguous-AA wobble RNG
+        # is stateful across val_batches() calls, so batch CONTENT would
+        # differ between two enumerations of one instance
+        dm = IntrepppidDataModule(
+            batch_size=3, dataset_path=fixtures / "tiny.h5", c_type=3,
+            trunc_len=48, workers=0, vocab_size=38,
+            model_file=fixtures / "tiny_spm.model",
+            seed=9, sos=False, eos=False, negative_omid=True,
+        )
+        dm.setup()
+        net = intrepppid_network(
+            steps_per_epoch=dm.steps_per_epoch, vocab_size=38,
+            embedding_size=16, num_epochs=1, optimizer_type="adamw", lr=1e-3,
+        )
+        t = Trainer(net, tempfile.mkdtemp(), f"ev{spd}", seed=7, swa=None,
+                    steps_per_dispatch=spd)
+        t.init_state()
+        results[spd] = t._run_eval(t.params, dm.val_batches(), "val", 0)
+    assert results[1].keys() == results[3].keys()
+    for k in results[1]:
+        np.testing.assert_allclose(results[1][k], results[3][k], atol=1e-6,
+                                   err_msg=k)
