@@ -37,6 +37,7 @@ class Eval:
         seed: int = 8675309,
         precision: str = "bf16",
         n_data_parallel: Optional[int] = None,
+        steps_per_dispatch: Optional[int] = None,
     ):
         """Evaluate a checkpoint on a dataset split; prints and optionally
         writes the metric dict (AUROC/AP/MCC/precision/recall + losses).
@@ -125,7 +126,13 @@ class Eval:
         data_sh = batch_sharding(mesh)
         params = jax.device_put(params, rep)
 
-        from intrepppid_tpu.train.trainer import compress_batch_for_wire, widen_batch
+        from intrepppid_tpu.parallel import stacked_batch_sharding
+        from intrepppid_tpu.train.trainer import (
+            compress_batch_for_wire,
+            group_dispatch_batches,
+            resolve_steps_per_dispatch,
+            widen_batch,
+        )
 
         eval_step = jax.jit(
             lambda p, b: triplet_step(
@@ -134,20 +141,47 @@ class Eval:
             in_shardings=(rep, data_sh),
             out_shardings=rep,
         )
+
+        def one(p, b):
+            return p, triplet_step(
+                p, net.cfg, widen_batch(b), jax.random.PRNGKey(0), False
+            )[1]
+
+        multi_eval_step = jax.jit(
+            lambda p, bs: jax.lax.scan(one, p, bs)[1],
+            in_shardings=(rep, stacked_batch_sharding(mesh)),
+            out_shardings=rep,
+        )
         batches = {
             "train": lambda: dm.train_batches(0),
             "val": dm.val_batches,
             "test": dm.test_batches,
         }[split]()
         acc = EpochAccumulator()
-        for batch in batches:
-            batch, true_b = pad_batch_to_multiple(batch, n_devices)
-            # bit-plane wire format (see trainer): bytes are wall time on
-            # the tunnelled host->device path, widened in-graph bit-exactly
-            batch = compress_batch_for_wire(batch, vocab_size)
-            batch = {k: jax.device_put(v, data_sh) for k, v in batch.items()}
-            aux = eval_step(params, batch)
-            acc.add(aux, true_b)
+
+        def padded(it):
+            for b in it:
+                b, true_b = pad_batch_to_multiple(b, n_devices)
+                # bit-plane wire format (see trainer): bytes are wall time
+                # on the tunnelled host->device path; widened in-graph
+                yield compress_batch_for_wire(b, vocab_size), true_b
+
+        # K batches per dispatch, like Trainer: each dispatch is a runtime
+        # round trip (~45 ms tunnelled)
+        K = resolve_steps_per_dispatch(steps_per_dispatch)
+        it = padded(batches)
+        if K > 1:
+            it = group_dispatch_batches(it, K)
+        sdata = stacked_batch_sharding(mesh)
+        for batch, meta in it:
+            sh = sdata if isinstance(meta, tuple) else data_sh
+            batch = {k: jax.device_put(v, sh) for k, v in batch.items()}
+            if isinstance(meta, tuple):
+                auxs = multi_eval_step(params, batch)
+                acc.add(auxs, np.asarray(meta, np.float64))
+            else:
+                aux = eval_step(params, batch)
+                acc.add(aux, meta)
         metrics = {f"{split}_{k}": float(v) for k, v in acc.means().items()}
         print(json.dumps(metrics, indent=2))
         if out_path is not None:

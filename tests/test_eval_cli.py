@@ -85,3 +85,31 @@ def test_eval_data_parallel_matches_single_device(fixtures, tmp_path):
     m8 = Eval.e2e_rnn_triplet(n_data_parallel=8, **common)
     for k in m1:
         assert m8[k] == pytest.approx(m1[k], abs=1e-5), k
+
+
+def test_eval_dispatch_stacking_matches_single(fixtures, tmp_path):
+    """--steps_per_dispatch: stacked eval dispatches (scan over K batches)
+    must reproduce single-dispatch metrics exactly."""
+    from intrepppid_tpu.cli.train import Train
+    from intrepppid_tpu.cli.evaluate import Eval
+
+    trainer, _ = Train.e2e_rnn_triplet(
+        ppi_dataset_path=fixtures / "tiny.h5",
+        sentencepiece_path=fixtures / "tiny_spm.model",
+        c_type=3, num_epochs=1, batch_size=8, seed=4, vocab_size=38,
+        trunc_len=48, embedding_size=16, workers=0,
+        log_path=tmp_path / "logs", optimizer_type="adamw", precision="fp32",
+    )
+    best = trainer.checkpoints.best_checkpoint()
+
+    common = dict(
+        checkpoint_path=best,
+        ppi_dataset_path=fixtures / "tiny.h5",
+        sentencepiece_path=fixtures / "tiny_spm.model",
+        c_type=3, batch_size=3,  # uneven: exercises the partial tail stack
+        vocab_size=38, trunc_len=48, embedding_size=16, precision="fp32",
+    )
+    m1 = Eval.e2e_rnn_triplet(steps_per_dispatch=1, **common)
+    m3 = Eval.e2e_rnn_triplet(steps_per_dispatch=3, **common)
+    for k in m1:
+        assert m3[k] == pytest.approx(m1[k], abs=1e-6), k
