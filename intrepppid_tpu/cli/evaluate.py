@@ -27,6 +27,7 @@ class Eval:
         out_path: Optional[Path] = None,
         split: str = "test",
         batch_size: int = 80,
+        workers: int = 0,
         vocab_size: Optional[int] = None,
         trunc_len: Optional[int] = None,
         embedding_size: Optional[int] = None,
@@ -89,7 +90,7 @@ class Eval:
             dataset_path=ppi_dataset_path,
             c_type=c_type,
             trunc_len=trunc_len,
-            workers=0,
+            workers=workers,
             vocab_size=vocab_size,
             model_file=sentencepiece_path,
             seed=seed,

@@ -48,17 +48,20 @@ class OmaTripletDataset:
             for row in csv.DictReader(f):
                 rows.append((row["anchor"], row["positive"], row["negative"]))
 
-        # 80/10/10 positional split, train rows shuffled with the seed
-        n = len(rows)
-        n_train = int(n * 0.8)
-        n_val = int(n * 0.1)
+        # Tenth-based positional split exactly as the reference
+        # (`intrepppid/data/oma.py:44-51`): one_tenth = n // 10,
+        # train = rows[:8*one_tenth], val = rows[8*one_tenth:9*one_tenth],
+        # test = rows[9*one_tenth:]. Deliberate delta: the reference
+        # shuffles train with an UNSEEDED `sample(frac=1.0)`; we seed the
+        # shuffle so runs are reproducible (membership is identical).
+        one_tenth = len(rows) // 10
         if split == "train":
-            rows = rows[:n_train]
+            rows = rows[: one_tenth * 8]
             random.Random(seed).shuffle(rows)
         elif split == "val":
-            rows = rows[n_train : n_train + n_val]
+            rows = rows[one_tenth * 8 : one_tenth * 9]
         elif split == "test":
-            rows = rows[n_train + n_val :]
+            rows = rows[one_tenth * 9 :]
         self.triplets = rows
 
     def encode(self, seq: str) -> np.ndarray:

