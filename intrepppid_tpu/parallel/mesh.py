@@ -61,22 +61,23 @@ def initialize_distributed(
     return True
 
 
-def put_global_batch(mesh: Mesh, batch: dict, sharding=None) -> dict:
-    """Place a batch onto the mesh, multi-host aware.
+def put_global_batch(mesh: Mesh, batch, sharding=None):
+    """Place a pytree of arrays onto the mesh, multi-host aware.
 
     Single-process: a plain sharded ``device_put``. Multi-process: each
     process passes its LOCAL rows (global batch = local rows stacked in
     process order along ``data``) and the arrays are assembled with
     ``jax.make_array_from_process_local_data`` — data-parallel loading with
-    no cross-host batch broadcast.
+    no cross-host batch broadcast. With a replicated ``sharding`` each
+    process passes the full (identical) value, e.g. the params tree.
     """
     sh = sharding if sharding is not None else batch_sharding(mesh)
     if jax.process_count() == 1:
-        return {k: jax.device_put(v, sh) for k, v in batch.items()}
-    return {
-        k: jax.make_array_from_process_local_data(sh, np.asarray(v))
-        for k, v in batch.items()
-    }
+        return jax.tree_util.tree_map(lambda v: jax.device_put(v, sh), batch)
+    return jax.tree_util.tree_map(
+        lambda v: jax.make_array_from_process_local_data(sh, np.asarray(v)),
+        batch,
+    )
 
 
 def make_mesh(
