@@ -11,9 +11,20 @@ Implements the two encode modes the reference uses
 
 Unknown characters map to the model's ``unk_id`` with the SentencePiece
 unknown penalty (score = min_piece_score - 10.0). CONTROL/UNUSED pieces are
-never matched in text. Normalisation approximates the common specs without
-the precompiled charsmap: NFKC + whitespace handling — an identity on amino
-acid sequences, the domain of this framework.
+never matched in text. BYTE pieces are never matched either, but when the
+model defines them (``byte_fallback=true`` models carry all 256), an
+out-of-vocabulary character encodes to the BYTE pieces of its UTF-8 bytes
+instead of ``unk_id`` — SentencePiece substitutes at output time, after
+the lattice search, and so do we (sentencepiece
+``SentencePieceProcessor``-level byte fallback). A char whose bytes are
+not all present stays ``unk_id``.
+
+Normalisation approximates the common specs without the precompiled
+charsmap: for ``nmt_nfkc``/``nmt_nfkc_cf`` the NMT override rules from
+sentencepiece's ``Builder::BuildNmtNFKCMap`` (control chars removed,
+exotic whitespace to ASCII space) are applied before NFKC (+casefold for
+``_cf``); other non-identity specs get plain NFKC. Identity on amino acid
+sequences, the domain of this framework.
 
 This is the reference implementation and test oracle; the C++ engine in
 ``intrepppid_tpu/native`` is the production path (same algorithms).
@@ -37,6 +48,23 @@ from intrepppid_tpu.data.spm.proto import (
 _WS = "▁"  # ▁
 _UNK_PENALTY = 10.0
 
+# NMT normalization overrides from sentencepiece Builder::BuildNmtNFKCMap
+# (builder.cc): applied to source characters BEFORE NFKC, like the compiled
+# charsmap where these entries replace the NFKC-derived ones.
+_NMT_TO_SPACE = frozenset([
+    0x0009, 0x000A, 0x000C, 0x000D,  # tab, LF, FF, CR
+    0x1680,                          # ogham space mark
+    0x200B, 0x200C, 0x200D,          # zero-width space / non-joiner / joiner
+    0x200E, 0x200F,                  # LTR / RTL marks
+    0x2028, 0x2029,                  # line / paragraph separator
+    0x2581,                          # lower one-eighth block (spm's meta char)
+    0xFEFF, 0xFFFD,                  # BOM, replacement char
+])
+_NMT_REMOVE = frozenset(
+    list(range(0x0001, 0x0009)) + [0x000B]
+    + list(range(0x000E, 0x0020)) + [0x007F, 0x008F, 0x009F]
+)
+
 
 class UnigramTokenizer:
     def __init__(self, model: SpmModel):
@@ -47,6 +75,17 @@ class UnigramTokenizer:
         self.eos_id = model.eos_id
         self.pad_id = model.pad_id
         self._rng = np.random.default_rng()
+
+        # byte-fallback table: UTF-8 byte value -> BYTE piece id ("<0xNN>")
+        self.byte_ids: dict = {}
+        for idx, p in enumerate(self.pieces):
+            if (
+                p.type == BYTE
+                and len(p.piece) == 6
+                and p.piece.startswith("<0x")
+                and p.piece.endswith(">")
+            ):
+                self.byte_ids[int(p.piece[3:5], 16)] = idx
 
         # char-keyed nested-dict trie: node = {char: node, 0: (id, score)}
         self.trie: dict = {}
@@ -72,7 +111,17 @@ class UnigramTokenizer:
     # ------------------------------------------------------------ normalise
     def normalize(self, text: str) -> str:
         spec = self.model.normalizer
-        if spec.name not in ("identity",):
+        if spec.name.startswith("nmt_nfkc"):
+            text = "".join(
+                " " if ord(c) in _NMT_TO_SPACE
+                else "" if ord(c) in _NMT_REMOVE
+                else c
+                for c in text
+            )
+            text = unicodedata.normalize("NFKC", text)
+            if spec.name.endswith("_cf"):
+                text = text.casefold()
+        elif spec.name not in ("identity",):
             text = unicodedata.normalize("NFKC", text)
         if spec.remove_extra_whitespaces:
             text = " ".join(text.split())
@@ -128,10 +177,27 @@ class UnigramTokenizer:
             return []
         edges = self._edges(s)
         if enable_sampling:
-            return self._sample(s, edges, alpha, rng or self._rng)
-        return self._viterbi(s, edges)
+            segs = self._sample(s, edges, alpha, rng or self._rng)
+        else:
+            segs = self._viterbi(s, edges)
+        return self._emit(s, segs)
 
-    def _viterbi(self, s: str, edges) -> List[int]:
+    def _emit(self, s: str, segs: List[tuple]) -> List[int]:
+        """Segments ``(pid, start, end)`` -> ids, with SentencePiece's
+        output-time byte fallback: an unk segment whose chars' UTF-8 bytes
+        all have BYTE pieces becomes those byte ids instead of unk."""
+        out: List[int] = []
+        for pid, i, j in segs:
+            if pid == self.unk_id and self.byte_ids:
+                bts = s[i:j].encode("utf-8")
+                ids = [self.byte_ids.get(b) for b in bts]
+                if all(x is not None for x in ids):
+                    out.extend(ids)
+                    continue
+            out.append(pid)
+        return out
+
+    def _viterbi(self, s: str, edges) -> List[tuple]:
         n = len(s)
         best = [-math.inf] * (n + 1)
         back: List[Optional[tuple]] = [None] * (n + 1)
@@ -148,12 +214,12 @@ class UnigramTokenizer:
         pos = n
         while pos > 0:
             i, pid = back[pos]
-            out.append(pid)
+            out.append((pid, i, pos))
             pos = i
         out.reverse()
         return out
 
-    def _sample(self, s: str, edges, alpha: float, rng: np.random.Generator) -> List[int]:
+    def _sample(self, s: str, edges, alpha: float, rng: np.random.Generator) -> List[tuple]:
         n = len(s)
         # forward: log-sum-exp of alpha-scaled path scores ending at i
         fwd = [-math.inf] * (n + 1)
@@ -188,7 +254,7 @@ class UnigramTokenizer:
             probs /= probs.sum()
             k = int(rng.choice(len(cands), p=probs))
             i, pid, _ = cands[k]
-            out.append(pid)
+            out.append((pid, i, pos))
             pos = i
         out.reverse()
         return out

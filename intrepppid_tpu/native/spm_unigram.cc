@@ -108,6 +108,11 @@ struct Model {
   int eos_id = 2;
   int pad_id = -1;
   int max_piece_len = 1;
+  // byte-fallback: UTF-8 byte value -> BYTE piece id ("<0xNN>"), -1 if the
+  // model defines no such piece. Substitution happens at OUTPUT time (after
+  // the lattice search), exactly like SentencePieceProcessor's byte
+  // fallback; the lattice itself keeps the per-char unk edge and penalty.
+  int byte_ids[256];
   float unk_score = -kUnkPenalty;
   // flattened trie: next[node*256+byte] -> node or -1; pid/score per node
   std::vector<int32_t> flat_next;
@@ -185,11 +190,23 @@ void BuildTrie(Model* m) {
   float min_score = 0.0f;
   bool saw_unknown_type = false;
   int unknown_type_id = 0;
+  for (int b = 0; b < 256; ++b) m->byte_ids[b] = -1;
   for (size_t id = 0; id < m->pieces.size(); ++id) {
     const Piece& p = m->pieces[id];
     if (p.type == 2 && !saw_unknown_type) {
       saw_unknown_type = true;
       unknown_type_id = static_cast<int>(id);
+    }
+    if (p.type == 6 && p.text.size() == 6 && p.text.compare(0, 3, "<0x") == 0 &&
+        p.text[5] == '>') {
+      auto hex = [](char c) -> int {
+        if (c >= '0' && c <= '9') return c - '0';
+        if (c >= 'A' && c <= 'F') return c - 'A' + 10;
+        if (c >= 'a' && c <= 'f') return c - 'a' + 10;
+        return -1;
+      };
+      int hi = hex(p.text[3]), lo = hex(p.text[4]);
+      if (hi >= 0 && lo >= 0) m->byte_ids[hi * 16 + lo] = static_cast<int>(id);
     }
     if (p.type == 2 || p.type == 3 || p.type == 5 || p.type == 6) continue;
     int node = 0;
@@ -302,12 +319,32 @@ int ViterbiEncode(const Model& m, Workspace& ws, const char* text, int n,
     i += char_len;
   }
   if (ws.back_start[n] < 0 && n > 0) return -1;
+  // byte fallback at emission: an unk segment (always one char) whose UTF-8
+  // bytes all have BYTE pieces expands to those ids, like sentencepiece
+  auto unk_bytes = [&](int start, int end) -> int {
+    for (int k = start; k < end; ++k)
+      if (m.byte_ids[static_cast<uint8_t>(text[k])] < 0) return 0;
+    return end - start;
+  };
   int count = 0;
-  for (int pos = n; pos > 0; pos = ws.back_start[pos]) ++count;
+  for (int pos = n; pos > 0; pos = ws.back_start[pos]) {
+    int nb = (ws.back_piece[pos] == m.unk_id)
+                 ? unk_bytes(ws.back_start[pos], pos)
+                 : 0;
+    count += nb ? nb : 1;
+  }
   if (count > max_out) return -count;
   int idx = count;
-  for (int pos = n; pos > 0; pos = ws.back_start[pos])
-    out[--idx] = ws.back_piece[pos];
+  for (int pos = n; pos > 0; pos = ws.back_start[pos]) {
+    int start = ws.back_start[pos];
+    int nb = (ws.back_piece[pos] == m.unk_id) ? unk_bytes(start, pos) : 0;
+    if (nb) {
+      for (int k = pos - 1; k >= start; --k)
+        out[--idx] = m.byte_ids[static_cast<uint8_t>(text[k])];
+    } else {
+      out[--idx] = ws.back_piece[pos];
+    }
+  }
   return count;
 }
 
@@ -445,8 +482,26 @@ int SampleEncode(const Model& m, Workspace& ws, const char* text, int n,
       }
       if (chosen < 0) return -1;
     }
-    ws.tmp.push_back(ws.e_pid[edge_ids[chosen]]);
-    pos = ws.e_start[edge_ids[chosen]];
+    int pid = ws.e_pid[edge_ids[chosen]];
+    int start = ws.e_start[edge_ids[chosen]];
+    // byte fallback at emission (see ViterbiEncode); tmp is reversed, so
+    // bytes are pushed last-first
+    bool expanded = false;
+    if (pid == m.unk_id) {
+      bool all_bytes = true;
+      for (int k = start; k < pos; ++k)
+        if (m.byte_ids[static_cast<uint8_t>(text[k])] < 0) {
+          all_bytes = false;
+          break;
+        }
+      if (all_bytes) {
+        for (int k = pos - 1; k >= start; --k)
+          ws.tmp.push_back(m.byte_ids[static_cast<uint8_t>(text[k])]);
+        expanded = true;
+      }
+    }
+    if (!expanded) ws.tmp.push_back(pid);
+    pos = start;
   }
   int count = static_cast<int>(ws.tmp.size());
   if (count > max_out) return -count;

