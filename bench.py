@@ -41,6 +41,10 @@ def main():
     import jax.numpy as jnp
     import optax
 
+    from intrepppid_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from intrepppid_tpu.models.factory import intrepppid_network
     from intrepppid_tpu.models.triplet import step as triplet_step
     from intrepppid_tpu.optim import make_optimizer

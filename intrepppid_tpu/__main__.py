@@ -11,7 +11,9 @@ def main(argv=None):
     from intrepppid_tpu.cli.train import Train
     from intrepppid_tpu.cli.infer import Infer
     from intrepppid_tpu.cli.evaluate import Eval
+    from intrepppid_tpu.utils.jax_cache import enable_compilation_cache
 
+    enable_compilation_cache()
     return dispatch({"train": Train(), "infer": Infer(), "eval": Eval()}, argv)
 
 

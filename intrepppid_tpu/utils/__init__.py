@@ -7,10 +7,12 @@ from intrepppid_tpu.ops.dropout import (
     variational_weight,
 )
 from intrepppid_tpu.utils.dictlogger import DictLogger
+from intrepppid_tpu.utils.jax_cache import enable_compilation_cache
 from intrepppid_tpu.utils.run_name import generate_passphrase, generate_run_name
 
 __all__ = [
     "DictLogger",
+    "enable_compilation_cache",
     "generate_passphrase",
     "generate_run_name",
     "embedding_dropout",

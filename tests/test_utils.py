@@ -224,3 +224,30 @@ class TestLazyDatasets:
         b = next(iter(dm.train_batches()))
         assert set(b) == {"p1", "p2", "anchor", "positive", "negative", "label"}
         assert b["p1"].shape == (8, 48)
+
+
+class TestCompilationCache:
+    def test_enable_sets_config(self, tmp_path, monkeypatch):
+        from intrepppid_tpu.utils.jax_cache import enable_compilation_cache
+
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+        monkeypatch.delenv("INTREPPPID_TPU_NO_COMPILE_CACHE", raising=False)
+        target = tmp_path / "jaxcache"
+        got = enable_compilation_cache(str(target))
+        assert got == str(target)
+        assert target.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(target)
+
+    def test_env_optout(self, monkeypatch):
+        from intrepppid_tpu.utils.jax_cache import enable_compilation_cache
+
+        monkeypatch.setenv("INTREPPPID_TPU_NO_COMPILE_CACHE", "1")
+        assert enable_compilation_cache() is None
+
+    def test_env_dir_wins(self, monkeypatch, tmp_path):
+        from intrepppid_tpu.utils.jax_cache import enable_compilation_cache
+
+        monkeypatch.delenv("INTREPPPID_TPU_NO_COMPILE_CACHE", raising=False)
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path))
+        # jax already read the env at startup; the helper must not override
+        assert enable_compilation_cache(str(tmp_path / "other")) == str(tmp_path)

@@ -38,6 +38,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from intrepppid_tpu.ops.lstm_pallas import _interpret
+from intrepppid_tpu.utils.jax_cache import enable_compilation_cache
+
+enable_compilation_cache()
 from intrepppid_tpu.ops.lstm_pallas_layer import (
     _fwd_pallas,
     _part_specs,
@@ -272,15 +275,20 @@ def _bwd_kernel_packed(
             [cpf_ref[s], cpb_ref[i]], axis=-1
         ).astype(jnp.float32)
         if shift_in_kernel:
-            boundary = jnp.concatenate(
+            # float mask, not bool: concatenating (Bt, H) i1 vectors trips a
+            # Mosaic "Invalid vector register cast" (i1->i32 vreg bitcast)
+            # on this libtpu; the float concat matches the fwd kernel's m.
+            bf = jnp.float32(pos_f == 0)
+            bb = jnp.float32(pos_b == nT * C - 1)
+            keep = 1.0 - jnp.concatenate(
                 [
-                    jnp.full((Bt, H), pos_f == 0),
-                    jnp.full((Bt, H), pos_b == nT * C - 1),
+                    jnp.broadcast_to(bf, (Bt, H)),
+                    jnp.broadcast_to(bb, (Bt, H)),
                 ],
                 axis=1,
             )
-            h_prev = jnp.where(boundary, 0.0, h_prev)
-            c_prev = jnp.where(boundary, 0.0, c_prev)
+            h_prev = h_prev * keep
+            c_prev = c_prev * keep
 
         pf = [p[s] for p in parts_f]
         pb = [p[i] for p in parts_b]
@@ -627,8 +635,11 @@ def run_bwd(B=400, T=1500, H=64, G=5, E=64, compute_dtype=jnp.bfloat16,
     dhn_p = jnp.concatenate([dhn[0], dhn[1]], axis=-1)
     dcn_p = jnp.concatenate([dcn[0], dcn[1]], axis=-1)
 
+    # big arrays (x, residual streams, dy) are explicit jit ARGS — captured
+    # closures become HLO constants, and the axon remote-compile endpoint
+    # rejects the ~400 MB upload with HTTP 413
     v5 = jax.jit(
-        lambda dy_f, dy_b: _bwd_pallas(
+        lambda x, hs_f, cs_f, hs_b, cs_b, dy_f, dy_b: _bwd_pallas(
             (x,), lengths, w_c, wT_c, wih_t, wih, bias_f,
             hs_f, cs_f, hs_b, cs_b, dy_f, dy_b, dhn, dcn,
             Bt=Bt, C=C, G=G, compute_dtype=compute_dtype,
@@ -636,7 +647,7 @@ def run_bwd(B=400, T=1500, H=64, G=5, E=64, compute_dtype=jnp.bfloat16,
         )
     )
 
-    def packed_fn(dy_f, dy_b):
+    def packed_fn(x, hs_f, cs_f, hs_b, cs_b, dy_f, dy_b):
         dxf, dxb, dw_tiles, dwih_tiles, dbias_tiles = _bwd_pallas_packed(
             (x,), lengths, wp, wihp, wihTp, bp,
             hs_f, cs_f, hs_b, cs_b, dy_f, dy_b, dhn_p, dcn_p,
@@ -653,8 +664,9 @@ def run_bwd(B=400, T=1500, H=64, G=5, E=64, compute_dtype=jnp.bfloat16,
 
     packed = jax.jit(packed_fn)
 
-    r5 = v5(dy_f, dy_b)
-    rp = packed(dy_f, dy_b)
+    operands = (x, hs_f, cs_f, hs_b, cs_b, dy_f, dy_b)
+    r5 = v5(*operands)
+    rp = packed(*operands)
     names = ["dxf", "dxb", "dw", "dwih", "dbias"]
     for n, a, b in zip(names, r5, rp):
         a = a[0] if isinstance(a, (list, tuple)) else a
@@ -670,7 +682,7 @@ def run_bwd(B=400, T=1500, H=64, G=5, E=64, compute_dtype=jnp.bfloat16,
         for _ in range(n_rounds):
             t0 = time.perf_counter()
             for k in range(10):
-                out = fn(dy_f, dy_b)
+                out = fn(*operands)
             float(jnp.sum(out[2].astype(jnp.float32)))
             best = min(best, (time.perf_counter() - t0) / 10)
         print(f"{label}: {best*1e3:.3f} ms/sweep")
