@@ -1,5 +1,9 @@
 """Fused bidirectional LSTM layer — time-major Pallas kernels (v5).
 
+(v6, `ops/lstm_pallas_packed.py`, packs the two directions into the lane
+axis for 2H == 128 configs — `pick_plan` prefers it there; these v5
+kernels remain the path for every other width and the lite large-H mode.)
+
 Layout generations measured on v5e at the flagship shape (B=400, T=1500,
 H=64), full fwd+bwd for the 2-layer stack:
 
@@ -201,10 +205,19 @@ def _pick_tiles_lite(
 
 def pick_plan(
     B: int, T: int, H: int, G: int, compute_dtype=jnp.float32, E: int = 0
-) -> Optional[Tuple[int, int, int, bool]]:
-    """(Bt, C, Tp, fused): the fully fused kernel plan when its VMEM model
-    fits, else the lite large-H plan, else None (scan fallback)."""
+) -> Optional[Tuple[int, int, int, object]]:
+    """(Bt, C, Tp, mode). mode is ``"packed"`` (direction-packed lanes,
+    v6 — 2H == 128 configs, measured fastest), ``True`` (v5 fused), or
+    ``False`` (lite large-H backward); None means scan fallback."""
+    from intrepppid_tpu.ops.lstm_pallas_packed import pick_tiles_packed
+
+    packed = pick_tiles_packed(B, T, H, G, compute_dtype, E)
     tiles = pick_tiles(B, T, H, G, compute_dtype, E)
+    # prefer packed only at an equal-or-fatter batch tile: wider rows feed
+    # the VPU better (measured), so a VMEM-squeezed narrow packed tile must
+    # not displace a fat v5 tile
+    if packed is not None and (tiles is None or packed[0] >= tiles[0]):
+        return packed + ("packed",)
     if tiles is not None:
         return tiles + (True,)
     tiles = _pick_tiles_lite(B, T, H, G, compute_dtype, E)
@@ -805,10 +818,15 @@ def _input_gates(x_parts, w_ih, bias, d: int, compute_dtype, out_dtype):
     return total
 
 
+def _unpack_state(s2, H):
+    """Packed final state ``(B, 2H)`` -> v5 layout ``(2, B, H)``."""
+    return jnp.stack([s2[:, :H], s2[:, H:]])
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def pallas_bidir_layer(
     x_parts, w_ih, bias, w_hh_t, lengths, G: int, compute_dtype, Bt: int,
-    C: int, fused: bool = True,
+    C: int, fused=True,
 ):
     """One fully fused bidirectional LSTM layer, time-major.
 
@@ -818,9 +836,22 @@ def pallas_bidir_layer(
     :param w_ih: ``(2, 4H, E_total)``; ``bias``: ``(2, 4H)`` (b_ih + b_hh).
     :param w_hh_t: ``(2, G, H, 4H)`` pre-transposed recurrent weights.
     :param lengths: ``(B, 1)`` int32 — positions >= length freeze the state.
+    :param fused: kernel generation — ``"packed"`` (v6 direction-packed
+        lanes), ``True`` (v5 fused), ``False`` (lite large-H backward).
     :returns: ``(hs_f (Tp,B,H), hs_b (Tp,B,H), hn (2,B,H), cn (2,B,H))``.
     """
     wih_t, _, bias_f = _wih_operands(w_ih, bias, compute_dtype)
+    H = w_hh_t.shape[2]
+    if fused == "packed":
+        from intrepppid_tpu.ops import lstm_pallas_packed as P
+
+        wp, wihp, _, bp = P.pack_operands(w_hh_t, wih_t, bias_f, compute_dtype)
+        hs_f, hs_b, hn2, cn2 = P._fwd_pallas_packed(
+            tuple(x_parts), lengths, wp, wihp, bp,
+            Bt=Bt, C=C, G=G, H=H, compute_dtype=compute_dtype,
+            with_states=False,
+        )
+        return hs_f, hs_b, _unpack_state(hn2, H), _unpack_state(cn2, H)
     # eval/primal path: skip the cell-state residual streams
     hs_f, hs_b, hn, cn = _fwd_pallas(
         tuple(x_parts), lengths, w_hh_t.astype(compute_dtype), wih_t, bias_f,
@@ -833,6 +864,23 @@ def _layer_fwd(
     x_parts, w_ih, bias, w_hh_t, lengths, G, compute_dtype, Bt, C, fused=True
 ):
     wih_t, _, bias_f = _wih_operands(w_ih, bias, compute_dtype)
+    H = w_hh_t.shape[2]
+    if fused == "packed":
+        from intrepppid_tpu.ops import lstm_pallas_packed as P
+
+        wp, wihp, _, bp = P.pack_operands(w_hh_t, wih_t, bias_f, compute_dtype)
+        hs_f, hs_b, cs_f, cs_b, hn2, cn2 = P._fwd_pallas_packed(
+            tuple(x_parts), lengths, wp, wihp, bp,
+            Bt=Bt, C=C, G=G, H=H, compute_dtype=compute_dtype,
+            with_states=True,
+        )
+        residuals = (
+            tuple(x_parts), w_ih, bias, w_hh_t, lengths,
+            hs_f, hs_b, cs_f, cs_b,
+        )
+        return (
+            hs_f, hs_b, _unpack_state(hn2, H), _unpack_state(cn2, H)
+        ), residuals
     hs_f, hs_b, cs_f, cs_b, hn, cn = _fwd_pallas(
         tuple(x_parts), lengths, w_hh_t.astype(compute_dtype), wih_t, bias_f,
         Bt=Bt, C=C, G=G, compute_dtype=compute_dtype, with_states=True,
@@ -866,6 +914,35 @@ def _layer_bwd(G, compute_dtype, Bt, C, fused, residuals, cots):
         hp_b = jnp.concatenate([hs_b[1:], zero], axis=0)
         cp_b = jnp.concatenate([cs_b[1:], zero], axis=0)
         shift_in_kernel = False
+
+    if fused == "packed":
+        from intrepppid_tpu.ops import lstm_pallas_packed as P
+
+        H = w_hh_t.shape[2]
+        B = hs_f.shape[1]
+        wih_t, _, bias_f = _wih_operands(w_ih, bias, compute_dtype)
+        wp, wihp, wihTp, bp = P.pack_operands(
+            w_hh_t, wih_t, bias_f, compute_dtype
+        )
+        dhn_p = jnp.concatenate([dhn[0], dhn[1]], axis=-1)
+        dcn_p = jnp.concatenate([dcn[0], dcn[1]], axis=-1)
+        dxf, dxb, dw_tiles, dwih_tiles, dbias_tiles = P._bwd_pallas_packed(
+            x_parts, lengths, wp, wihp, wihTp, bp,
+            hp_f, cp_f, hp_b, cp_b, dy_f, dy_b, dhn_p, dcn_p,
+            Bt=Bt, C=C, G=G, H=H, compute_dtype=compute_dtype,
+            shift_in_kernel=shift_in_kernel,
+        )
+        dw, dwih, dbias = P.reduce_packed_grads(
+            dw_tiles, dwih_tiles, dbias_tiles, B=B, Bt=Bt, G=G, H=H
+        )
+        dx_parts = tuple(
+            (f + b).astype(p.dtype) for f, b, p in zip(dxf, dxb, x_parts)
+        )
+        dw_ih = jnp.swapaxes(dwih, -1, -2).astype(w_ih.dtype)
+        return (
+            dx_parts, dw_ih, dbias.astype(w_ih.dtype),
+            dw.astype(w_hh_t.dtype), None,
+        )
 
     if fused:
         wih_t, wih, bias_f = _wih_operands(w_ih, bias, compute_dtype)

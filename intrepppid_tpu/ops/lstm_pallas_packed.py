@@ -1,0 +1,602 @@
+"""Direction-packed-lanes bidirectional LSTM kernels (v6).
+
+The v5 kernels (`ops/lstm_pallas_layer.py`) operate the cell math on
+``(2, Bt, H)`` f32 vectors. At the flagship H=64 that leaves half of every
+128-lane vector register idle through the sweep's measured floor — the 3
+sigmoids + 2 tanhs per cell step. This layout packs the two directions
+into the lane axis instead:
+
+* state ``(Bt, 2H)`` — forward direction in lanes ``[0, H)``, backward in
+  ``[H, 2H)``;
+* gates ``(Bt, 8H)`` with gate-major interleaved columns
+  ``[i_f i_b | f_f f_b | g_f g_b | o_f o_b]`` so every cell slice
+  (``gates[:, k*2H:(k+1)*2H]``) is a full-width register row;
+* both GEMMs consume/produce the packed layout directly via block-diagonal
+  weights — ``(2E, 8H)`` input projection and a ``(GPT, 2H, 8H)``
+  recurrent batched dot at lane width 2H = 128 (at or above the width
+  where this libtpu's batched-dot layout pass is safe) — so there is no
+  per-step pack/unpack anywhere except the H-wide output writes.
+
+The zero blocks double the GEMM FLOPs on paper, but the unpacked v5 dots
+already pad their 64-wide contraction to 128 lanes, so the MXU work is
+unchanged while the VPU transcendental count halves. Measured on v5e at
+the flagship shape (B=400, T=1500, H=64, bf16): forward sweep 6.96 →
+5.67 ms (1.23x), bitwise-equal outputs (the added GEMM terms are exact
+zeros). See ``tools/experiment_packed_lanes.py`` for the measurement
+driver and ``docs/performance.md`` for the accept/reject record.
+
+Eligibility: ``2*H == 128`` exactly (one packed register row per cell
+vector; narrower widths would re-enter the batched-dot-at-<128-lanes
+Mosaic crash, wider ones already fill the VPU unpacked). Other shapes use
+the v5 kernels. The backward additionally streams ONE packed weight block
+(the ``dhp`` contraction reuses it transposed via dimension numbers), not
+the separate ``w``+``wT`` pair v5 streams.
+
+Same role as the cuDNN LSTM the reference reaches through
+``torch.nn.LSTM(bidirectional=True)`` (`intrepppid/encoders/awd_lstm.py:35-41`).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from intrepppid_tpu.ops.lstm_pallas import _interpret
+from intrepppid_tpu.ops.lstm_pallas_layer import (
+    _VMEM_BUDGET,
+    _PlanDims,
+    _part_specs,
+    _reduce_dw_tiles,
+    _resident_spec,
+)
+
+# ----------------------------------------------------------- weight packing
+
+
+def pack_whh(w):
+    """``(2, G, H, 4H) -> (G, 2H, 8H)`` block-diagonal, gate-major
+    interleaved columns: fwd rows ``[0, H)`` hit columns
+    ``[k*2H, k*2H+H)``, bwd rows ``[H, 2H)`` hit ``[k*2H+H, (k+1)*2H)``."""
+    _, G, H, H4 = w.shape
+    wg = w.reshape(2, G, H, 4, H)
+    out = jnp.zeros((G, 2 * H, 4, 2 * H), w.dtype)
+    out = out.at[:, :H, :, :H].set(wg[0])
+    out = out.at[:, H:, :, H:].set(wg[1])
+    return out.reshape(G, 2 * H, 8 * H)
+
+
+def pack_wih_t(wih_t):
+    """``(2, E, 4H) -> (2E, 8H)`` with the same column interleave."""
+    _, E, H4 = wih_t.shape
+    H = H4 // 4
+    g = wih_t.reshape(2, E, 4, H)
+    out = jnp.zeros((2, E, 4, 2, H), wih_t.dtype)
+    out = out.at[0, :, :, 0, :].set(g[0])
+    out = out.at[1, :, :, 1, :].set(g[1])
+    return out.reshape(2 * E, 8 * H)
+
+
+def pack_bias(bias):
+    """``(2, 4H) -> (8H,)`` interleaved."""
+    H = bias.shape[1] // 4
+    b = bias.reshape(2, 4, H)
+    out = jnp.zeros((4, 2, H), bias.dtype)
+    out = out.at[:, 0, :].set(b[0])
+    out = out.at[:, 1, :].set(b[1])
+    return out.reshape(8 * H)
+
+
+def unpack_blockdiag(p, H):
+    """``(..., 2R, 8H)`` packed -> ``(2, ..., R, 4H)``: diagonal blocks only
+    (the cross blocks are accumulation garbage — gradients of the exact-zero
+    off-diagonal weights — never read). Works for ``dW_hh`` (R == H) and
+    ``dW_ih`` (R == E_total)."""
+    lead, R2 = p.shape[:-2], p.shape[-2]
+    R = R2 // 2
+    g = p.reshape(lead + (R2, 4, 2, H))
+    f = g[..., :R, :, 0, :].reshape(lead + (R, 4 * H))
+    b = g[..., R:, :, 1, :].reshape(lead + (R, 4 * H))
+    return jnp.stack([f, b])
+
+
+def unpack_dbias(db_packed, H):
+    """``(..., 8H)`` -> ``(2, ..., 4H)``."""
+    lead = db_packed.shape[:-1]
+    g = db_packed.reshape(lead + (4, 2, H))
+    return jnp.stack(
+        [g[..., 0, :].reshape(lead + (4 * H,)),
+         g[..., 1, :].reshape(lead + (4 * H,))]
+    )
+
+
+def pack_operands(w_hh_t, wih_t, bias_f, compute_dtype):
+    """All packed kernel weight operands from the v5-layout ones. Cheap
+    XLA scatters on (sub-MB) weight arrays, fused into the step graph."""
+    wp = pack_whh(w_hh_t).astype(compute_dtype)
+    wihp = pack_wih_t(wih_t)
+    return wp, wihp, jnp.swapaxes(wihp, 0, 1), pack_bias(bias_f)
+
+
+# -------------------------------------------------------------- plan
+
+
+def pick_tiles_packed(
+    B: int, T: int, H: int, G: int, compute_dtype=jnp.float32, E: int = 0
+) -> Optional[Tuple[int, int, int]]:
+    """Packed-plan tile choice. Eligible only at ``2*H == 128``.
+
+    Exact block accounting (not the v5 ``_PlanDims`` reuse — its ``Ep`` is
+    the per-part lane-PADDED stream width, which overstates the weight-side
+    arrays whose rows carry the REAL concat width). At the flagship shape
+    this totals ~12.0 MB at Bt=400 — measured to compile and run on v5e,
+    where the v5 kernels also run Bt=400."""
+    if 2 * H != 128:
+        return None
+    dims = _PlanDims(B, H, G, compute_dtype, E)
+    sb = dims.sb
+    Hp, H4 = dims.Hp, dims.H4
+    Ep = dims.Ep                    # per-part lane-padded stream width
+    Ew = max(2 * H, E)              # weight-side (real concat) width
+    e2h8 = 2 * Ew * 8 * H           # (2E, 8H) element count
+
+    def bwd_vmem(bt: int, c: int) -> int:
+        streams = 2 * (
+            2 * c * bt * Ep * sb        # x parts in, both directions
+            + 2 * c * bt * Ep * sb      # dx out, both directions
+            + 6 * c * bt * Hp * sb      # hp/cp (x2 dirs) + dy (x2 dirs)
+        )
+        gpt = dims.gpt(bt)
+        w16 = gpt * 16 * H * H          # (GPT, 2H, 8H) element count
+        fixed = (
+            2 * 2 * bt * 2 * H * 4      # dhn/dcn in (Bt, 2H) f32, dbl
+            + 2 * w16 * sb              # packed w block, dbl
+            + 2 * 2 * e2h8 * sb         # wihp + wihTp resident, dbl
+            + 2 * bt * 2 * H * 4        # dh/dc scratch (Bt, 2H) f32
+            + 3 * w16 * 4               # dw scratch + dbl tile out
+            + 3 * e2h8 * 4              # dwih scratch + dbl tile out
+        )
+        return streams + fixed
+
+    def fwd_vmem(bt: int, c: int) -> int:
+        streams = 2 * (
+            2 * c * bt * Ep * sb        # x parts in
+            + 4 * c * bt * Hp * sb      # hs/cs out
+        )
+        gpt = dims.gpt(bt)
+        fixed = (
+            2 * 2 * bt * 2 * H * 4      # hn/cn out, dbl
+            + 2 * gpt * 16 * H * H * sb
+            + 2 * e2h8 * sb             # wihp resident, dbl
+            + 2 * bt * 2 * H * 4        # h/c scratch
+        )
+        return streams + fixed
+
+    for bt in dims.candidates():
+        if max(bwd_vmem(bt, 1), fwd_vmem(bt, 1)) <= _VMEM_BUDGET:
+            return bt, 1, T
+    return None
+
+
+# ------------------------------------------------------------ forward
+
+
+def _fwd_kernel_packed(
+    *refs, nparts: int, C: int, Bt: int, H: int, compute_dtype,
+    with_states: bool,
+):
+    parts_f = refs[:nparts]
+    parts_b = refs[nparts : 2 * nparts]
+    len_ref, w_ref, wih_ref, bias_ref = refs[2 * nparts : 2 * nparts + 4]
+    rest = refs[2 * nparts + 4 :]
+    if with_states:
+        (hsf_ref, hsb_ref, csf_ref, csb_ref, hn_ref, cn_ref,
+         h_scr, c_scr) = rest
+    else:
+        (hsf_ref, hsb_ref, hn_ref, cn_ref, h_scr, c_scr) = rest
+        csf_ref = csb_ref = None
+
+    t = pl.program_id(1)
+    nT = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[...] = jnp.zeros_like(h_scr)
+        c_scr[...] = jnp.zeros_like(c_scr)
+
+    lengths = len_ref[...]  # (Bt, 1) int32
+    GPT = w_ref.shape[0]
+    Bgr = Bt // GPT
+    H2 = 2 * H
+
+    def chunk_step(s):
+        sb = C - 1 - s
+        pos_f = t * C + s
+        pos_b = (nT - 1 - t) * C + sb
+        mf = jnp.where(pos_f < lengths, 1.0, 0.0).astype(jnp.float32)
+        mb = jnp.where(pos_b < lengths, 1.0, 0.0).astype(jnp.float32)
+        m = jnp.concatenate(
+            [jnp.broadcast_to(mf, (Bt, H)), jnp.broadcast_to(mb, (Bt, H))],
+            axis=1,
+        )
+        pf = [p[s] for p in parts_f]
+        pb = [p[sb] for p in parts_b]
+        xf = pf[0] if nparts == 1 else jnp.concatenate(pf, axis=-1)
+        xb = pb[0] if nparts == 1 else jnp.concatenate(pb, axis=-1)
+        xp = jnp.concatenate([xf, xb], axis=-1).astype(compute_dtype)
+        xg = jax.lax.dot_general(
+            xp, wih_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bias_ref[...].astype(jnp.float32)[None, :]
+        h = h_scr[...]
+        hb = h.astype(compute_dtype).reshape(GPT, Bgr, H2)
+        rec = jax.lax.dot_general(
+            hb, w_ref[...], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(Bt, 8 * H)
+        gates = xg + rec
+        i = jax.nn.sigmoid(gates[:, :H2])
+        f = jax.nn.sigmoid(gates[:, H2 : 2 * H2])
+        g = jnp.tanh(gates[:, 2 * H2 : 3 * H2])
+        o = jax.nn.sigmoid(gates[:, 3 * H2 :])
+        c = c_scr[...]
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        h_scr[...] = m * h_new + (1.0 - m) * h
+        c_scr[...] = m * c_new + (1.0 - m) * c
+        hsf_ref[s] = h_scr[:, :H].astype(hsf_ref.dtype)
+        hsb_ref[sb] = h_scr[:, H:].astype(hsb_ref.dtype)
+        if csf_ref is not None:
+            csf_ref[s] = c_scr[:, :H].astype(csf_ref.dtype)
+            csb_ref[sb] = c_scr[:, H:].astype(csb_ref.dtype)
+
+    if C <= 4:
+        for s in range(C):
+            chunk_step(s)
+    else:
+        jax.lax.fori_loop(0, C, lambda s, carry: (chunk_step(s), carry)[1], 0)
+
+    hn_ref[...] = h_scr[...]
+    cn_ref[...] = c_scr[...]
+
+
+def _w_spec_packed(B, Bt, G, H):
+    """Packed analogue of ``_w_spec``: the tile's own groups' packed
+    blocks are streamed — ``(GPT, 2H, 8H)`` per tile."""
+    Bg = B // G
+    gpt = Bt // Bg if Bt > Bg else 1
+    return pl.BlockSpec(
+        (gpt, 2 * H, 8 * H),
+        lambda b, t: ((b * Bt) // (Bg * gpt), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _fwd_pallas_packed(x_parts, lengths, w_packed, wih_packed, bias_packed,
+                       *, Bt: int, C: int, G: int, H: int, compute_dtype,
+                       with_states: bool):
+    """Same contract as ``_bwd_pallas``'s sibling ``_fwd_pallas`` except
+    ``hn``/``cn`` come back packed ``(B, 2H)`` (callers unpack with one
+    cheap XLA slice-stack)."""
+    Tp, B, _ = x_parts[0].shape
+    part_dims = [p.shape[-1] for p in x_parts]
+    nB, nT = B // Bt, Tp // C
+
+    fwd = lambda b, t: (t, b, 0)
+    mir = lambda b, t: (nT - 1 - t, b, 0)
+    lmap = lambda b, t: (b, 0)
+    onb = lambda b, t: (b, 0)
+
+    st_out = pl.BlockSpec((C, Bt, H), fwd, memory_space=pltpu.VMEM)
+    st_out_m = pl.BlockSpec((C, Bt, H), mir, memory_space=pltpu.VMEM)
+    st_shape = jax.ShapeDtypeStruct((Tp, B, H), compute_dtype)
+    out_specs = [st_out, st_out_m]
+    out_shape = [st_shape, st_shape]
+    if with_states:
+        out_specs += [st_out, st_out_m]
+        out_shape += [st_shape, st_shape]
+    out_specs += [
+        pl.BlockSpec((Bt, 2 * H), onb, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, 2 * H), onb, memory_space=pltpu.VMEM),
+    ]
+    out_shape += [
+        jax.ShapeDtypeStruct((B, 2 * H), jnp.float32),
+        jax.ShapeDtypeStruct((B, 2 * H), jnp.float32),
+    ]
+
+    kernel = functools.partial(
+        _fwd_kernel_packed, nparts=len(x_parts), C=C, Bt=Bt, H=H,
+        compute_dtype=compute_dtype, with_states=with_states,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nB, nT),
+        in_specs=(
+            _part_specs(part_dims, C, Bt, fwd)
+            + _part_specs(part_dims, C, Bt, mir)
+            + [
+                pl.BlockSpec((Bt, 1), lmap, memory_space=pltpu.VMEM),
+                _w_spec_packed(B, Bt, G, H),
+                _resident_spec(wih_packed.shape),
+                _resident_spec(bias_packed.shape),
+            ]
+        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((Bt, 2 * H), jnp.float32) for _ in range(2)],
+        interpret=_interpret(),
+    )(*x_parts, *x_parts, lengths, w_packed, wih_packed, bias_packed)
+
+
+# ------------------------------------------------------------ backward
+
+
+def _bwd_kernel_packed(
+    *refs, nparts: int, C: int, Bt: int, H: int, compute_dtype,
+    shift_in_kernel: bool,
+):
+    parts_f = refs[:nparts]
+    parts_b = refs[nparts : 2 * nparts]
+    (len_ref, w_ref, wih_ref, wihT_ref, bias_ref,
+     hpf_ref, cpf_ref, hpb_ref, cpb_ref, dyf_ref, dyb_ref,
+     dhn_ref, dcn_ref) = refs[2 * nparts : 2 * nparts + 13]
+    outs = refs[2 * nparts + 13 :]
+    dxf_refs = outs[:nparts]
+    dxb_refs = outs[nparts : 2 * nparts]
+    (dw_tiles_ref, dwih_tiles_ref, dbias_tiles_ref) = outs[
+        2 * nparts : 2 * nparts + 3
+    ]
+    dh_scr, dc_scr, dw_scr, dwih_scr, dbias_scr = outs[2 * nparts + 3 :]
+
+    t = pl.program_id(1)
+    nT = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        dh_scr[...] = dhn_ref[...]
+        dc_scr[...] = dcn_ref[...]
+        dw_scr[...] = jnp.zeros_like(dw_scr)
+        dwih_scr[...] = jnp.zeros_like(dwih_scr)
+        dbias_scr[...] = jnp.zeros_like(dbias_scr)
+
+    lengths = len_ref[...]
+    GPT = dw_scr.shape[0]
+    Bgr = Bt // GPT
+    H2 = 2 * H
+    E2 = dwih_scr.shape[0]
+
+    def chunk_step(i):
+        s = C - 1 - i
+        pos_f = (nT - 1 - t) * C + s
+        pos_b = t * C + i
+        h_prev = jnp.concatenate(
+            [hpf_ref[s], hpb_ref[i]], axis=-1
+        ).astype(jnp.float32)
+        c_prev = jnp.concatenate(
+            [cpf_ref[s], cpb_ref[i]], axis=-1
+        ).astype(jnp.float32)
+        if shift_in_kernel:
+            # float mask, not bool: concatenating (Bt, H) i1 vectors trips
+            # a Mosaic "Invalid vector register cast" (i1->i32 vreg
+            # bitcast) on this libtpu; floats match the fwd kernel's m.
+            bf = jnp.float32(pos_f == 0)
+            bb = jnp.float32(pos_b == nT * C - 1)
+            keep = 1.0 - jnp.concatenate(
+                [
+                    jnp.broadcast_to(bf, (Bt, H)),
+                    jnp.broadcast_to(bb, (Bt, H)),
+                ],
+                axis=1,
+            )
+            h_prev = h_prev * keep
+            c_prev = c_prev * keep
+
+        pf = [p[s] for p in parts_f]
+        pb = [p[i] for p in parts_b]
+        xf = pf[0] if nparts == 1 else jnp.concatenate(pf, axis=-1)
+        xb = pb[0] if nparts == 1 else jnp.concatenate(pb, axis=-1)
+        xp = jnp.concatenate([xf, xb], axis=-1).astype(compute_dtype)
+        xg = jax.lax.dot_general(
+            xp, wih_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bias_ref[...].astype(jnp.float32)[None, :]
+        hb = h_prev.astype(compute_dtype).reshape(GPT, Bgr, H2)
+        rec = jax.lax.dot_general(
+            hb, w_ref[...], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(Bt, 8 * H)
+        gates = xg + rec
+        ig = jax.nn.sigmoid(gates[:, :H2])
+        f = jax.nn.sigmoid(gates[:, H2 : 2 * H2])
+        gg_ = jnp.tanh(gates[:, 2 * H2 : 3 * H2])
+        o = jax.nn.sigmoid(gates[:, 3 * H2 :])
+        c_new = f * c_prev + ig * gg_
+
+        dy = jnp.concatenate(
+            [dyf_ref[s], dyb_ref[i]], axis=-1
+        ).astype(jnp.float32)
+        dh = dh_scr[...] + dy
+        dc = dc_scr[...]
+        mf = jnp.where(pos_f < lengths, 1.0, 0.0).astype(jnp.float32)
+        mb = jnp.where(pos_b < lengths, 1.0, 0.0).astype(jnp.float32)
+        m = jnp.concatenate(
+            [jnp.broadcast_to(mf, (Bt, H)), jnp.broadcast_to(mb, (Bt, H))],
+            axis=1,
+        )
+
+        tc = jnp.tanh(c_new)
+        do = dh * tc
+        dc_t = dc + dh * o * (1.0 - tc * tc)
+        dgi = (dc_t * gg_) * ig * (1.0 - ig) * m
+        dgf = (dc_t * c_prev) * f * (1.0 - f) * m
+        dgg = (dc_t * ig) * (1.0 - gg_ * gg_) * m
+        dgo = do * o * (1.0 - o) * m
+        dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=-1)  # (Bt, 8H)
+        dgc = dgates.astype(compute_dtype)
+
+        # dx (packed): (Bt, 8H) @ (8H, 2E) -> (Bt, 2E)
+        dx = jax.lax.dot_general(
+            dgc, wihT_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        offs = 0
+        for p_idx in range(nparts):
+            E = dxf_refs[p_idx].shape[-1]
+            dxf_refs[p_idx][s] = dx[:, offs : offs + E].astype(
+                dxf_refs[p_idx].dtype
+            )
+            dxb_refs[p_idx][i] = dx[
+                :, E2 // 2 + offs : E2 // 2 + offs + E
+            ].astype(dxb_refs[p_idx].dtype)
+            offs += E
+
+        dwih_scr[...] += jax.lax.dot_general(
+            xp, dgc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dbias_scr[...] += jnp.sum(dgates, axis=0, keepdims=True)
+
+        dgb = dgc.reshape(GPT, Bgr, 8 * H)
+        # dhp via the SAME packed w block, contracting the 8H axis of both
+        # operands (NT gemm) — no separate transposed-weight stream
+        dhp = jax.lax.dot_general(
+            dgb, w_ref[...], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(Bt, H2)
+        dw_scr[...] += jax.lax.dot_general(
+            hb, dgb, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dh_scr[...] = dhp + dh * (1.0 - m)
+        dc_scr[...] = dc_t * f * m + dc * (1.0 - m)
+
+    if C <= 4:
+        for i in range(C):
+            chunk_step(i)
+    else:
+        jax.lax.fori_loop(0, C, lambda i, carry: (chunk_step(i), carry)[1], 0)
+
+    dw_tiles_ref[0] = dw_scr[...]
+    dwih_tiles_ref[0] = dwih_scr[...]
+    dbias_tiles_ref[0] = dbias_scr[...]
+
+
+def _bwd_pallas_packed(
+    x_parts, lengths, w_packed, wih_packed, wihT_packed, bias_packed,
+    hp_f, cp_f, hp_b, cp_b, dy_f, dy_b, dhn_p, dcn_p,
+    *, Bt: int, C: int, G: int, H: int, compute_dtype,
+    shift_in_kernel: bool = False,
+):
+    """Packed analogue of v5's ``_bwd_pallas``. ``dhn_p``/``dcn_p`` are
+    ``(B, 2H)``; returns ``dxf, dxb`` per part plus the PACKED gradient
+    tiles (``(nB, GPT, 2H, 8H)``, ``(nB, 2E, 8H)``, ``(nB, 1, 8H)``) —
+    callers unpack the diagonal blocks in XLA."""
+    Tp, B, _ = x_parts[0].shape
+    E2 = wih_packed.shape[0]
+    part_dims = [p.shape[-1] for p in x_parts]
+    nB, nT = B // Bt, Tp // C
+    Bg = B // G
+    GPT = Bt // Bg if Bt > Bg else 1
+
+    mir = lambda b, t: (nT - 1 - t, b, 0)
+    fwd = lambda b, t: (t, b, 0)
+    lmap = lambda b, t: (b, 0)
+    onb = lambda b, t: (b, 0)
+    if shift_in_kernel:
+        prev_f = lambda b, t: (jnp.maximum(nT - 2 - t, 0), b, 0)
+        prev_b = lambda b, t: (jnp.minimum(t + 1, nT - 1), b, 0)
+    else:
+        prev_f, prev_b = mir, fwd
+
+    kernel = functools.partial(
+        _bwd_kernel_packed, nparts=len(x_parts), C=C, Bt=Bt, H=H,
+        compute_dtype=compute_dtype, shift_in_kernel=shift_in_kernel,
+    )
+    dx_shape = [
+        jax.ShapeDtypeStruct((Tp, B, E), compute_dtype) for E in part_dims
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(nB, nT),
+        in_specs=(
+            _part_specs(part_dims, C, Bt, mir)
+            + _part_specs(part_dims, C, Bt, fwd)
+            + [
+                pl.BlockSpec((Bt, 1), lmap, memory_space=pltpu.VMEM),
+                _w_spec_packed(B, Bt, G, H),
+                _resident_spec(wih_packed.shape),
+                _resident_spec(wihT_packed.shape),
+                _resident_spec(bias_packed.shape),
+                pl.BlockSpec((C, Bt, H), prev_f, memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, Bt, H), prev_f, memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, Bt, H), prev_b, memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, Bt, H), prev_b, memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, Bt, H), mir, memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, Bt, H), fwd, memory_space=pltpu.VMEM),
+                pl.BlockSpec((Bt, 2 * H), onb, memory_space=pltpu.VMEM),
+                pl.BlockSpec((Bt, 2 * H), onb, memory_space=pltpu.VMEM),
+            ]
+        ),
+        out_specs=(
+            _part_specs(part_dims, C, Bt, mir)
+            + _part_specs(part_dims, C, Bt, fwd)
+            + [
+                pl.BlockSpec(
+                    (1, GPT, 2 * H, 8 * H),
+                    lambda b, t: (b, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, E2, 8 * H),
+                    lambda b, t: (b, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, 8 * H),
+                    lambda b, t: (b, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ]
+        ),
+        out_shape=(
+            dx_shape
+            + dx_shape
+            + [
+                jax.ShapeDtypeStruct((nB, GPT, 2 * H, 8 * H), jnp.float32),
+                jax.ShapeDtypeStruct((nB, E2, 8 * H), jnp.float32),
+                jax.ShapeDtypeStruct((nB, 1, 8 * H), jnp.float32),
+            ]
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Bt, 2 * H), jnp.float32),
+            pltpu.VMEM((Bt, 2 * H), jnp.float32),
+            pltpu.VMEM((GPT, 2 * H, 8 * H), jnp.float32),
+            pltpu.VMEM((E2, 8 * H), jnp.float32),
+            pltpu.VMEM((1, 8 * H), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(*x_parts, *x_parts, lengths, w_packed, wih_packed, wihT_packed,
+      bias_packed, hp_f, cp_f, hp_b, cp_b, dy_f, dy_b, dhn_p, dcn_p)
+
+    nP = len(x_parts)
+    dxf, dxb = out[:nP], out[nP : 2 * nP]
+    dw_tiles, dwih_tiles, dbias_tiles = out[2 * nP : 2 * nP + 3]
+    return dxf, dxb, dw_tiles, dwih_tiles, dbias_tiles
+
+
+def reduce_packed_grads(dw_tiles, dwih_tiles, dbias_tiles, *, B, Bt, G, H):
+    """Unpack the packed gradient tiles to v5 layouts: ``dw (2,G,H,4H)``,
+    ``dwih (2,E,4H)``, ``dbias (2,4H)``."""
+    nB = B // Bt
+    Bg = B // G
+    GPT = Bt // Bg if Bt > Bg else 1
+    dw_u = unpack_blockdiag(dw_tiles, H)  # (2, nB, GPT, H, 4H)
+    dw = _reduce_dw_tiles(
+        jnp.swapaxes(dw_u, 0, 1), nB, Bt, Bg, G, GPT, H, 4 * H
+    )
+    dwih = unpack_blockdiag(jnp.sum(dwih_tiles, axis=0), H)  # (2, E, 4H)
+    dbias = unpack_dbias(jnp.sum(dbias_tiles, axis=(0, 1)), H)
+    return dw, dwih, dbias

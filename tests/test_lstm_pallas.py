@@ -271,12 +271,13 @@ def test_lite_backward_mode_matches_scan(rng, monkeypatch):
 
 
 def test_pick_plan_modes():
-    """Flagship shapes take the fused plan; H>=192 falls back to the lite
-    plan (not the scan path); tiny-VMEM impossibilities return None."""
+    """Flagship shapes (2H == 128) take the packed plan; other widths the
+    v5 fused plan; H>=192 falls back to the lite plan (not the scan path);
+    tiny-VMEM impossibilities return None."""
     from intrepppid_tpu.ops.lstm_pallas_layer import pick_plan
 
     plan = pick_plan(400, 1024, 64, 5, jnp.bfloat16, E=64)
-    assert plan is not None and plan[3] is True
+    assert plan is not None and plan[3] == "packed"
     plan = pick_plan(200, 512, 256, 5, jnp.bfloat16, E=64)
     assert plan is not None and plan[3] is False
     plan = pick_plan(400, 1024, 128, 5, jnp.bfloat16, E=64)
@@ -320,3 +321,161 @@ def test_bf16_kernel_tracks_f32_scan(rng, monkeypatch, fused):
     rel = np.abs(np.asarray(gp) - np.asarray(gs)) / denom
     assert float(np.median(rel)) < 0.05
     assert float(np.max(rel)) < 0.6
+
+
+def test_packed_mode_matches_scan(rng, monkeypatch):
+    """v6 direction-packed-lanes plan (fused == "packed"): values and
+    gradients must match the scan path — this is the path the flagship
+    H=64 config takes on TPU."""
+    import intrepppid_tpu.ops.lstm_pallas_layer as LPL
+    from intrepppid_tpu.ops.lstm import _bilstm_pallas
+
+    monkeypatch.setattr(
+        LPL, "pick_plan",
+        lambda B, T, H, G, cd=jnp.float32, E=0: (B, 1, T, "packed"),
+    )
+    B, T, H = 8, 12, 8
+    layers = init_lstm_params(jax.random.PRNGKey(21), H, H, 2)
+    x = jnp.asarray(rng.normal(size=(B, T, H)).astype(np.float32))
+    ml = jnp.full((B,), T - 3, jnp.int32)
+
+    def loss_pallas(layers, x):
+        y, hn, cn = _bilstm_pallas(layers, x, ml, jnp.float32)
+        return jnp.sum(y**2) + jnp.sum(hn**2) + jnp.sum(cn**2)
+
+    def loss_scan(layers, x):
+        y, hn, cn = bilstm(layers, x, ml, backend="scan")
+        return jnp.sum(y**2) + jnp.sum(hn**2) + jnp.sum(cn**2)
+
+    vp, gp = jax.value_and_grad(loss_pallas, argnums=(0, 1))(layers, x)
+    vs, gs = jax.value_and_grad(loss_scan, argnums=(0, 1))(layers, x)
+    np.testing.assert_allclose(float(vp), float(vs), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_packed_grouped_gradients_match_v5(rng, monkeypatch):
+    """Packed kernels with G > 1 weight-drop groups: every gradient must
+    match the v5 fused kernels bitwise-tolerance (same f32 accumulation
+    order inside both; the packed GEMMs only add exact-zero terms)."""
+    import intrepppid_tpu.ops.lstm_pallas_layer as LPL
+    from intrepppid_tpu.ops.lstm import _bilstm_pallas
+
+    B, T, H, G = 8, 10, 8, 2
+    layers = init_lstm_params(jax.random.PRNGKey(22), H, H, 1)
+    layers = [
+        {
+            d: dict(lp[d], w_hh=jnp.stack(
+                [lp[d]["w_hh"] * (1.0 + 0.1 * g) for g in range(G)]))
+            for d in ("fwd", "bwd")
+        }
+        for lp in layers
+    ]
+    x = jnp.asarray(rng.normal(size=(B, T, H)).astype(np.float32))
+    ml = jnp.full((B,), T - 2, jnp.int32)
+
+    def run(mode):
+        monkeypatch.setattr(
+            LPL, "pick_plan",
+            lambda B, T, H, G, cd=jnp.float32, E=0, m=mode: (B, 1, T, m),
+        )
+
+        def loss(layers, x):
+            y, hn, cn = _bilstm_pallas(layers, x, ml, jnp.float32)
+            return jnp.sum(y**2) + jnp.sum(hn**2) + jnp.sum(cn**2)
+
+        return jax.value_and_grad(loss, argnums=(0, 1))(layers, x)
+
+    vp, gp = run("packed")
+    v5, g5 = run(True)
+    np.testing.assert_allclose(float(vp), float(v5), rtol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(g5)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_packed_multipart_input(rng, monkeypatch):
+    """Layer 1 consumes the (hs_f, hs_b) two-part input: the packed dx
+    unpacking must route each part's forward/backward slices correctly."""
+    import intrepppid_tpu.ops.lstm_pallas_layer as LPL
+    from intrepppid_tpu.ops.lstm import _bilstm_pallas
+
+    monkeypatch.setattr(
+        LPL, "pick_plan",
+        lambda B, T, H, G, cd=jnp.float32, E=0: (B, 1, T, "packed"),
+    )
+    B, T, H = 8, 8, 8
+    # 3 layers: layers 1 and 2 both take two H-wide parts
+    layers = init_lstm_params(jax.random.PRNGKey(23), H, H, 3)
+    x = jnp.asarray(rng.normal(size=(B, T, H)).astype(np.float32))
+    ml = jnp.full((B,), T - 1, jnp.int32)
+
+    def loss_pallas(x):
+        y, hn, _ = _bilstm_pallas(layers, x, ml, jnp.float32)
+        return jnp.sum(y**2) + jnp.sum(hn**2)
+
+    def loss_scan(x):
+        y, hn, _ = bilstm(layers, x, ml, backend="scan")
+        return jnp.sum(y**2) + jnp.sum(hn**2)
+
+    vp, gp = jax.value_and_grad(loss_pallas)(x)
+    vs, gs = jax.value_and_grad(loss_scan)(x)
+    np.testing.assert_allclose(float(vp), float(vs), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gs), atol=2e-5)
+
+
+def test_packed_bf16_tracks_f32_scan(rng, monkeypatch):
+    """Packed kernels at the production bf16 compute dtype track the f32
+    scan within bf16-scale tolerance (same bar as the v5 kernels)."""
+    import intrepppid_tpu.ops.lstm_pallas_layer as LPL
+    from intrepppid_tpu.ops.lstm import _bilstm_pallas
+
+    monkeypatch.setattr(
+        LPL, "pick_plan",
+        lambda B, T, H, G, cd=jnp.float32, E=0: (B, 1, T, "packed"),
+    )
+    B, T, H = 8, 12, 8
+    layers = init_lstm_params(jax.random.PRNGKey(24), H, H, 2)
+    x = jnp.asarray(rng.normal(size=(B, T, H)).astype(np.float32))
+    ml = jnp.full((B,), T - 2, jnp.int32)
+
+    def loss_pallas(x):
+        y, hn, _ = _bilstm_pallas(layers, x, ml, jnp.bfloat16)
+        return jnp.sum(y.astype(jnp.float32) ** 2) + jnp.sum(hn**2)
+
+    def loss_scan(x):
+        y, hn, _ = bilstm(layers, x, ml, backend="scan")
+        return jnp.sum(y**2) + jnp.sum(hn**2)
+
+    vp, gp = jax.value_and_grad(loss_pallas)(x)
+    vs, gs = jax.value_and_grad(loss_scan)(x)
+    np.testing.assert_allclose(float(vp), float(vs), rtol=0.05)
+    denom = np.maximum(np.abs(np.asarray(gs)), 1e-2)
+    rel = np.abs(np.asarray(gp) - np.asarray(gs)) / denom
+    assert float(np.median(rel)) < 0.05
+    assert float(np.max(rel)) < 0.6
+
+
+def test_packed_weight_roundtrip():
+    """pack/unpack helpers are exact inverses on the diagonal blocks."""
+    from intrepppid_tpu.ops import lstm_pallas_packed as P
+
+    rng = np.random.default_rng(7)
+    H, G, E = 8, 3, 12
+    w = jnp.asarray(rng.normal(size=(2, G, H, 4 * H)).astype(np.float32))
+    wih_t = jnp.asarray(rng.normal(size=(2, E, 4 * H)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(2, 4 * H)).astype(np.float32))
+
+    wp = P.pack_whh(w)  # (G, 2H, 8H)
+    assert wp.shape == (G, 2 * H, 8 * H)
+    # unpack_blockdiag expects a leading tile axis; treat G as it
+    back = P.unpack_blockdiag(wp, H)  # (2, G, H, 4H)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(w))
+
+    wihp = P.pack_wih_t(wih_t)
+    np.testing.assert_array_equal(
+        np.asarray(P.unpack_blockdiag(wihp, H)), np.asarray(wih_t)
+    )
+    bp = P.pack_bias(bias)
+    np.testing.assert_array_equal(
+        np.asarray(P.unpack_dbias(bp, H)), np.asarray(bias)
+    )
