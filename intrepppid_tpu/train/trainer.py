@@ -128,6 +128,20 @@ def _available_cpus() -> int:
         return os.cpu_count() or 1
 
 
+def _use_host_prefetch() -> bool:
+    """Whether to split tokenisation into its own pipeline thread.
+
+    Default: only with >1 core available (on a single core the extra
+    thread's GIL ping-pong measured ~7% slower than the two-stage
+    producer). ``INTREPPPID_TPU_HOST_PREFETCH=1/0`` forces it on/off —
+    the measurement knob for re-testing that trade as the host/device
+    balance shifts."""
+    env = os.environ.get("INTREPPPID_TPU_HOST_PREFETCH")
+    if env is not None and env != "":
+        return env not in ("0", "false", "False")
+    return _available_cpus() > 1
+
+
 def group_dispatch_batches(it: Iterator, K: int) -> Iterator:
     """Stack consecutive same-shape (batch, true_b) numpy pairs host-side
     into ``(stacked_batch, tuple_of_true_b)`` dispatch groups of up to K.
@@ -530,11 +544,9 @@ class Trainer:
                 )
             # two-stage host pipeline: tokenise-ahead thread feeds the
             # device-transfer thread so the stages overlap (see
-            # data/pipeline.py:host_prefetch). On single-core hosts the
-            # extra thread only adds GIL ping-pong to the latency-sensitive
-            # transfer stage (measured ~7% slower), so gate on the cores
-            # actually available to THIS process (affinity/cgroup-aware).
-            if _available_cpus() > 1:
+            # data/pipeline.py:host_prefetch and _use_host_prefetch for
+            # the single-core trade-off + override knob).
+            if _use_host_prefetch():
                 host_iter = host_prefetch(host_iter, size=self.prefetch)
             batches = prefetch_to_device(
                 host_iter,
