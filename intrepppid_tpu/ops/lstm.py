@@ -213,15 +213,21 @@ def _bilstm_pallas(layers, x, max_len, compute_dtype):
     two feature-parts and only materialised for the returned ``y``.
     Returns None when the batch is untileable (caller falls back to scan).
     """
-    from intrepppid_tpu.ops.lstm_pallas_layer import pallas_bidir_layer, pick_plan
+    from intrepppid_tpu.ops.lstm_pallas_layer import (
+        pallas_bilstm_stack,
+        pick_plan,
+    )
 
     B, T, E0 = x.shape
     H = layers[0]["fwd"]["w_hh"].shape[-1]
     grouped0 = layers[0]["fwd"]["w_hh"].ndim == 3
     G0 = layers[0]["fwd"]["w_hh"].shape[0] if grouped0 else 1
     B_orig, pad_rows = B, 0
+    # a stack threads 2 unsummed dy streams per direction into each
+    # non-top layer's packed backward — budget the plan for it
+    ny = 2 if len(layers) > 1 else 1
     lengths_vec = jnp.broadcast_to(jnp.asarray(max_len, jnp.int32), (B,))
-    tiles = pick_plan(B, T, H, G0, compute_dtype, E=E0)
+    tiles = pick_plan(B, T, H, G0, compute_dtype, E=E0, nyparts=ny)
     if tiles is None and B % max(G0, 1) == 0:
         # Untileable batch (e.g. a tail batch): pad each weight-group's rows
         # to the next multiple of 8 instead of silently dropping to the ~3x
@@ -231,7 +237,7 @@ def _bilstm_pallas(layers, x, max_len, compute_dtype):
         Bg0 = B // G0
         Bg_pad = -(-Bg0 // 8) * 8
         B_pad = Bg_pad * G0
-        tiles = pick_plan(B_pad, T, H, G0, compute_dtype, E=E0)
+        tiles = pick_plan(B_pad, T, H, G0, compute_dtype, E=E0, nyparts=ny)
         if tiles is not None:
             pad_rows = Bg_pad - Bg0
             x = jnp.pad(
@@ -260,8 +266,7 @@ def _bilstm_pallas(layers, x, max_len, compute_dtype):
     # invalid automatically (max_len <= T).
     lengths = lengths_vec.reshape(B, 1)
 
-    parts = (x_tm,)
-    hns, cns = [], []
+    layer_weights, Gs = [], []
     for lp in layers:
         grouped = lp["fwd"]["w_hh"].ndim == 3
         G = lp["fwd"]["w_hh"].shape[0] if grouped else 1
@@ -273,13 +278,15 @@ def _bilstm_pallas(layers, x, max_len, compute_dtype):
         bias = jnp.stack(
             [lp["fwd"]["b_ih"] + lp["fwd"]["b_hh"], lp["bwd"]["b_ih"] + lp["bwd"]["b_hh"]]
         )
-        hs_f, hs_b, hn, cn = pallas_bidir_layer(
-            parts, w_ih, bias, w_hh_t, lengths, G, compute_dtype, Bt, C, fused
-        )
-        parts = (hs_f, hs_b)
-        hns.append(hn)
-        cns.append(cn)
-    y = jnp.transpose(jnp.concatenate(parts, axis=-1)[:T], (1, 0, 2))
+        layer_weights.append((w_ih, bias, w_hh_t))
+        Gs.append(G)
+    # the whole stack is ONE custom-VJP unit: the packed backward threads
+    # unsummed inter-layer dy streams straight between the layer kernels
+    hs_f, hs_b, hns, cns = pallas_bilstm_stack(
+        (x_tm,), tuple(layer_weights), lengths, tuple(Gs), compute_dtype,
+        Bt, C, fused,
+    )
+    y = jnp.transpose(jnp.concatenate([hs_f, hs_b], axis=-1)[:T], (1, 0, 2))
     hn_all = jnp.concatenate(hns, axis=0)
     cn_all = jnp.concatenate(cns, axis=0)
     if pad_rows:

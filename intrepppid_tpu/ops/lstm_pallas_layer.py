@@ -204,14 +204,18 @@ def _pick_tiles_lite(
 
 
 def pick_plan(
-    B: int, T: int, H: int, G: int, compute_dtype=jnp.float32, E: int = 0
+    B: int, T: int, H: int, G: int, compute_dtype=jnp.float32, E: int = 0,
+    nyparts: int = 1,
 ) -> Optional[Tuple[int, int, int, object]]:
     """(Bt, C, Tp, mode). mode is ``"packed"`` (direction-packed lanes,
     v6 — 2H == 128 configs, measured fastest), ``True`` (v5 fused), or
-    ``False`` (lite large-H backward); None means scan fallback."""
+    ``False`` (lite large-H backward); None means scan fallback.
+
+    ``nyparts``: dy streams per direction the packed backward must budget
+    for (2 when a multi-layer stack threads unsummed upper-layer streams)."""
     from intrepppid_tpu.ops.lstm_pallas_packed import pick_tiles_packed
 
-    packed = pick_tiles_packed(B, T, H, G, compute_dtype, E)
+    packed = pick_tiles_packed(B, T, H, G, compute_dtype, E, nyparts=nyparts)
     tiles = pick_tiles(B, T, H, G, compute_dtype, E)
     # prefer packed only at an equal-or-fatter batch tile: wider rows feed
     # the VPU better (measured), so a VMEM-squeezed narrow packed tile must
@@ -894,55 +898,79 @@ def _layer_fwd(
     return (hs_f, hs_b, hn, cn), residuals
 
 
+def _prev_states(hs_f, cs_f, hs_b, cs_b, C):
+    """Previous-step state streams for the backward. At C == 1 they are
+    read in-kernel from hs/cs at shifted block indices — no materialized
+    shift copies (4 x (Tp,B,H) writes+reads saved)."""
+    if C == 1:
+        return hs_f, cs_f, hs_b, cs_b, True
+    zero = jnp.zeros_like(hs_f[:1])
+    # fwd dir processed positions ascending: prev state at t-1
+    hp_f = jnp.concatenate([zero, hs_f[:-1]], axis=0)
+    cp_f = jnp.concatenate([zero, cs_f[:-1]], axis=0)
+    # bwd dir processed positions descending: prev state at t+1
+    hp_b = jnp.concatenate([hs_b[1:], zero], axis=0)
+    cp_b = jnp.concatenate([cs_b[1:], zero], axis=0)
+    return hp_f, cp_f, hp_b, cp_b, False
+
+
+def _packed_bwd_streams(
+    residuals, dyf_streams, dyb_streams, dhn, dcn, *, G, compute_dtype,
+    Bt, C,
+):
+    """Packed (v6) layer backward taking dy as tuples of UNSUMMED
+    contribution streams per direction (summed in-register inside the
+    sweep). Returns ``(dxf, dxb, dw_ih, dbias, dw)`` with the per-part
+    dx contributions likewise unsummed, so a stack VJP can thread them
+    straight into the next (lower) layer's backward."""
+    (x_parts, w_ih, bias, w_hh_t, lengths, hs_f, hs_b, cs_f, cs_b) = residuals
+    hp_f, cp_f, hp_b, cp_b, shift_in_kernel = _prev_states(
+        hs_f, cs_f, hs_b, cs_b, C
+    )
+    from intrepppid_tpu.ops import lstm_pallas_packed as P
+
+    H = w_hh_t.shape[2]
+    B = hs_f.shape[1]
+    wih_t, _, bias_f = _wih_operands(w_ih, bias, compute_dtype)
+    wp, wihp, wihTp, bp = P.pack_operands(
+        w_hh_t, wih_t, bias_f, compute_dtype
+    )
+    dhn_p = jnp.concatenate([dhn[0], dhn[1]], axis=-1)
+    dcn_p = jnp.concatenate([dcn[0], dcn[1]], axis=-1)
+    dxf, dxb, dw_tiles, dwih_tiles, dbias_tiles = P._bwd_pallas_packed(
+        x_parts, lengths, wp, wihp, wihTp, bp,
+        hp_f, cp_f, hp_b, cp_b, dyf_streams, dyb_streams, dhn_p, dcn_p,
+        Bt=Bt, C=C, G=G, H=H, compute_dtype=compute_dtype,
+        shift_in_kernel=shift_in_kernel,
+    )
+    dw, dwih, dbias = P.reduce_packed_grads(
+        dw_tiles, dwih_tiles, dbias_tiles, B=B, Bt=Bt, G=G, H=H
+    )
+    dw_ih = jnp.swapaxes(dwih, -1, -2).astype(w_ih.dtype)
+    return (
+        dxf, dxb, dw_ih, dbias.astype(w_ih.dtype), dw.astype(w_hh_t.dtype)
+    )
+
+
 def _layer_bwd(G, compute_dtype, Bt, C, fused, residuals, cots):
     (x_parts, w_ih, bias, w_hh_t, lengths, hs_f, hs_b, cs_f, cs_b) = residuals
     dy_f, dy_b, dhn, dcn = cots
 
-    w = w_hh_t.astype(compute_dtype)
-    wT = jnp.swapaxes(w, -1, -2)
-    if C == 1:
-        # previous states read in-kernel from hs/cs at shifted block indices
-        # — no materialized shift copies (4 x (Tp,B,H) writes+reads saved)
-        hp_f, cp_f, hp_b, cp_b = hs_f, cs_f, hs_b, cs_b
-        shift_in_kernel = True
-    else:
-        zero = jnp.zeros_like(hs_f[:1])
-        # fwd dir processed positions ascending: prev state at t-1
-        hp_f = jnp.concatenate([zero, hs_f[:-1]], axis=0)
-        cp_f = jnp.concatenate([zero, cs_f[:-1]], axis=0)
-        # bwd dir processed positions descending: prev state at t+1
-        hp_b = jnp.concatenate([hs_b[1:], zero], axis=0)
-        cp_b = jnp.concatenate([cs_b[1:], zero], axis=0)
-        shift_in_kernel = False
-
     if fused == "packed":
-        from intrepppid_tpu.ops import lstm_pallas_packed as P
-
-        H = w_hh_t.shape[2]
-        B = hs_f.shape[1]
-        wih_t, _, bias_f = _wih_operands(w_ih, bias, compute_dtype)
-        wp, wihp, wihTp, bp = P.pack_operands(
-            w_hh_t, wih_t, bias_f, compute_dtype
-        )
-        dhn_p = jnp.concatenate([dhn[0], dhn[1]], axis=-1)
-        dcn_p = jnp.concatenate([dcn[0], dcn[1]], axis=-1)
-        dxf, dxb, dw_tiles, dwih_tiles, dbias_tiles = P._bwd_pallas_packed(
-            x_parts, lengths, wp, wihp, wihTp, bp,
-            hp_f, cp_f, hp_b, cp_b, dy_f, dy_b, dhn_p, dcn_p,
-            Bt=Bt, C=C, G=G, H=H, compute_dtype=compute_dtype,
-            shift_in_kernel=shift_in_kernel,
-        )
-        dw, dwih, dbias = P.reduce_packed_grads(
-            dw_tiles, dwih_tiles, dbias_tiles, B=B, Bt=Bt, G=G, H=H
+        dxf, dxb, dw_ih, dbias, dw = _packed_bwd_streams(
+            residuals, (dy_f,), (dy_b,), dhn, dcn,
+            G=G, compute_dtype=compute_dtype, Bt=Bt, C=C,
         )
         dx_parts = tuple(
             (f + b).astype(p.dtype) for f, b, p in zip(dxf, dxb, x_parts)
         )
-        dw_ih = jnp.swapaxes(dwih, -1, -2).astype(w_ih.dtype)
-        return (
-            dx_parts, dw_ih, dbias.astype(w_ih.dtype),
-            dw.astype(w_hh_t.dtype), None,
-        )
+        return dx_parts, dw_ih, dbias, dw, None
+
+    w = w_hh_t.astype(compute_dtype)
+    wT = jnp.swapaxes(w, -1, -2)
+    hp_f, cp_f, hp_b, cp_b, shift_in_kernel = _prev_states(
+        hs_f, cs_f, hs_b, cs_b, C
+    )
 
     if fused:
         wih_t, wih, bias_f = _wih_operands(w_ih, bias, compute_dtype)
@@ -1013,3 +1041,106 @@ def _layer_bwd(G, compute_dtype, Bt, C, fused, residuals, cots):
 
 
 pallas_bidir_layer.defvjp(_layer_fwd, _layer_bwd)
+
+
+# ------------------------------------------------- whole-stack custom VJP
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def pallas_bilstm_stack(
+    x_parts, layer_weights, lengths, Gs, compute_dtype, Bt: int, C: int,
+    fused=True,
+):
+    """The full bidirectional LSTM stack as ONE differentiation unit.
+
+    Functionally identical to looping :func:`pallas_bidir_layer`, but in
+    the packed (v6) mode the backward threads each upper layer's UNSUMMED
+    per-direction dx contributions (``dxf[part], dxb[part]``) straight
+    into the lower layer's backward kernel as two dy streams, where they
+    are summed in-register inside the sweep. That removes the two XLA
+    ``(Tp, B, H)`` adds per layer boundary plus their materialized
+    outputs (~1 ms/step at the flagship shape, device-profiled).
+
+    :param x_parts: tuple of ``(Tp, B, E_i)`` time-major layer-0 inputs.
+    :param layer_weights: tuple of ``(w_ih, bias, w_hh_t)`` per layer —
+        shapes as in :func:`pallas_bidir_layer`, layer ``l > 0`` consuming
+        the ``(hs_f, hs_b)`` two-part 2H-wide input.
+    :param Gs: per-layer weight-group counts (static tuple).
+    :returns: ``(hs_f_top, hs_b_top, hns, cns)`` with ``hns``/``cns``
+        tuples of per-layer ``(2, B, H)`` final states.
+    """
+    parts = tuple(x_parts)
+    hns, cns = [], []
+    for (w_ih, bias, w_hh_t), G in zip(layer_weights, Gs):
+        hs_f, hs_b, hn, cn = pallas_bidir_layer(
+            parts, w_ih, bias, w_hh_t, lengths, G, compute_dtype, Bt, C,
+            fused,
+        )
+        parts = (hs_f, hs_b)
+        hns.append(hn)
+        cns.append(cn)
+    return parts[0], parts[1], tuple(hns), tuple(cns)
+
+
+def _stack_fwd(
+    x_parts, layer_weights, lengths, Gs, compute_dtype, Bt, C, fused=True
+):
+    parts = tuple(x_parts)
+    residuals, hns, cns = [], [], []
+    for (w_ih, bias, w_hh_t), G in zip(layer_weights, Gs):
+        (hs_f, hs_b, hn, cn), res = _layer_fwd(
+            parts, w_ih, bias, w_hh_t, lengths, G, compute_dtype, Bt, C,
+            fused,
+        )
+        residuals.append(res)
+        parts = (hs_f, hs_b)
+        hns.append(hn)
+        cns.append(cn)
+    return (parts[0], parts[1], tuple(hns), tuple(cns)), tuple(residuals)
+
+
+def _stack_bwd(Gs, compute_dtype, Bt, C, fused, residuals, cots):
+    dyf_top, dyb_top, dhns, dcns = cots
+    L = len(residuals)
+    dyf_streams, dyb_streams = (dyf_top,), (dyb_top,)
+    d_weights = [None] * L
+    dx0 = None
+    for l in reversed(range(L)):
+        res = residuals[l]
+        if fused == "packed":
+            dxf, dxb, dw_ih, dbias, dw = _packed_bwd_streams(
+                res, dyf_streams, dyb_streams, dhns[l], dcns[l],
+                G=Gs[l], compute_dtype=compute_dtype, Bt=Bt, C=C,
+            )
+            if l > 0:
+                # lower layer's hs_f cotangent = this layer's part-0
+                # contributions from BOTH directions — threaded unsummed
+                dyf_streams = (dxf[0], dxb[0])
+                dyb_streams = (dxf[1], dxb[1])
+            else:
+                x0 = res[0]
+                dx0 = tuple(
+                    (f + b).astype(p.dtype)
+                    for f, b, p in zip(dxf, dxb, x0)
+                )
+        else:
+            dy_f = dyf_streams[0]
+            dy_b = dyb_streams[0]
+            for s in dyf_streams[1:]:
+                dy_f = dy_f + s
+            for s in dyb_streams[1:]:
+                dy_b = dy_b + s
+            dx_parts, dw_ih, dbias, dw, _ = _layer_bwd(
+                Gs[l], compute_dtype, Bt, C, fused, res,
+                (dy_f, dy_b, dhns[l], dcns[l]),
+            )
+            if l > 0:
+                dyf_streams = (dx_parts[0],)
+                dyb_streams = (dx_parts[1],)
+            else:
+                dx0 = dx_parts
+        d_weights[l] = (dw_ih, dbias, dw)
+    return dx0, tuple(d_weights), None
+
+
+pallas_bilstm_stack.defvjp(_stack_fwd, _stack_bwd)

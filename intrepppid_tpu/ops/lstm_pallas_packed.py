@@ -125,9 +125,14 @@ def pack_operands(w_hh_t, wih_t, bias_f, compute_dtype):
 
 
 def pick_tiles_packed(
-    B: int, T: int, H: int, G: int, compute_dtype=jnp.float32, E: int = 0
+    B: int, T: int, H: int, G: int, compute_dtype=jnp.float32, E: int = 0,
+    nyparts: int = 1,
 ) -> Optional[Tuple[int, int, int]]:
     """Packed-plan tile choice. Eligible only at ``2*H == 128``.
+
+    ``nyparts`` is the number of dy contribution streams per direction the
+    backward will receive (2 when the stack VJP threads the upper layer's
+    unsummed dxf/dxb pairs in, 1 for a top/standalone layer).
 
     Exact block accounting (not the v5 ``_PlanDims`` reuse — its ``Ep`` is
     the per-part lane-PADDED stream width, which overstates the weight-side
@@ -147,7 +152,8 @@ def pick_tiles_packed(
         streams = 2 * (
             2 * c * bt * Ep * sb        # x parts in, both directions
             + 2 * c * bt * Ep * sb      # dx out, both directions
-            + 6 * c * bt * Hp * sb      # hp/cp (x2 dirs) + dy (x2 dirs)
+            # hp/cp (x2 dirs) + nyparts dy streams (x2 dirs)
+            + (4 + 2 * nyparts) * c * bt * Hp * sb
         )
         gpt = dims.gpt(bt)
         w16 = gpt * 16 * H * H          # (GPT, 2H, 8H) element count
@@ -335,15 +341,22 @@ def _fwd_pallas_packed(x_parts, lengths, w_packed, wih_packed, bias_packed,
 
 
 def _bwd_kernel_packed(
-    *refs, nparts: int, C: int, Bt: int, H: int, compute_dtype,
-    shift_in_kernel: bool,
+    *refs, nparts: int, nyparts: int, C: int, Bt: int, H: int,
+    compute_dtype, shift_in_kernel: bool,
 ):
     parts_f = refs[:nparts]
     parts_b = refs[nparts : 2 * nparts]
     (len_ref, w_ref, wih_ref, wihT_ref, bias_ref,
-     hpf_ref, cpf_ref, hpb_ref, cpb_ref, dyf_ref, dyb_ref,
-     dhn_ref, dcn_ref) = refs[2 * nparts : 2 * nparts + 13]
-    outs = refs[2 * nparts + 13 :]
+     hpf_ref, cpf_ref, hpb_ref, cpb_ref) = refs[2 * nparts : 2 * nparts + 9]
+    # dy arrives as nyparts contribution streams per direction (the stack
+    # VJP threads the previous layer's dxf/dxb pairs straight in; the sum
+    # happens in-register below, in the sweep's shadow — the XLA adds it
+    # replaces were ~1 ms/step at the flagship shape, device-profiled)
+    p = 2 * nparts + 9
+    dyf_refs = refs[p : p + nyparts]
+    dyb_refs = refs[p + nyparts : p + 2 * nyparts]
+    dhn_ref, dcn_ref = refs[p + 2 * nyparts : p + 2 * nyparts + 2]
+    outs = refs[p + 2 * nyparts + 2 :]
     dxf_refs = outs[:nparts]
     dxb_refs = outs[nparts : 2 * nparts]
     (dw_tiles_ref, dwih_tiles_ref, dbias_tiles_ref) = outs[
@@ -415,9 +428,12 @@ def _bwd_kernel_packed(
         o = jax.nn.sigmoid(gates[:, 3 * H2 :])
         c_new = f * c_prev + ig * gg_
 
-        dy = jnp.concatenate(
-            [dyf_ref[s], dyb_ref[i]], axis=-1
-        ).astype(jnp.float32)
+        dyf = dyf_refs[0][s].astype(jnp.float32)
+        dyb = dyb_refs[0][i].astype(jnp.float32)
+        for r in range(1, nyparts):
+            dyf = dyf + dyf_refs[r][s].astype(jnp.float32)
+            dyb = dyb + dyb_refs[r][i].astype(jnp.float32)
+        dy = jnp.concatenate([dyf, dyb], axis=-1)
         dh = dh_scr[...] + dy
         dc = dc_scr[...]
         mf = jnp.where(pos_f < lengths, 1.0, 0.0).astype(jnp.float32)
@@ -493,7 +509,17 @@ def _bwd_pallas_packed(
     """Packed analogue of v5's ``_bwd_pallas``. ``dhn_p``/``dcn_p`` are
     ``(B, 2H)``; returns ``dxf, dxb`` per part plus the PACKED gradient
     tiles (``(nB, GPT, 2H, 8H)``, ``(nB, 2E, 8H)``, ``(nB, 1, 8H)``) —
-    callers unpack the diagonal blocks in XLA."""
+    callers unpack the diagonal blocks in XLA.
+
+    ``dy_f``/``dy_b`` may each be a single ``(Tp, B, H)`` array or a tuple
+    of such streams (equal length for both); streams are summed in-kernel,
+    which lets the stack VJP skip the XLA adds that would otherwise merge
+    the upper layer's dxf/dxb contributions."""
+    if not isinstance(dy_f, (tuple, list)):
+        dy_f, dy_b = (dy_f,), (dy_b,)
+    dy_f, dy_b = tuple(dy_f), tuple(dy_b)
+    assert len(dy_f) == len(dy_b)
+    nyparts = len(dy_f)
     Tp, B, _ = x_parts[0].shape
     E2 = wih_packed.shape[0]
     part_dims = [p.shape[-1] for p in x_parts]
@@ -512,8 +538,9 @@ def _bwd_pallas_packed(
         prev_f, prev_b = mir, fwd
 
     kernel = functools.partial(
-        _bwd_kernel_packed, nparts=len(x_parts), C=C, Bt=Bt, H=H,
-        compute_dtype=compute_dtype, shift_in_kernel=shift_in_kernel,
+        _bwd_kernel_packed, nparts=len(x_parts), nyparts=nyparts, C=C,
+        Bt=Bt, H=H, compute_dtype=compute_dtype,
+        shift_in_kernel=shift_in_kernel,
     )
     dx_shape = [
         jax.ShapeDtypeStruct((Tp, B, E), compute_dtype) for E in part_dims
@@ -534,8 +561,16 @@ def _bwd_pallas_packed(
                 pl.BlockSpec((C, Bt, H), prev_f, memory_space=pltpu.VMEM),
                 pl.BlockSpec((C, Bt, H), prev_b, memory_space=pltpu.VMEM),
                 pl.BlockSpec((C, Bt, H), prev_b, memory_space=pltpu.VMEM),
-                pl.BlockSpec((C, Bt, H), mir, memory_space=pltpu.VMEM),
-                pl.BlockSpec((C, Bt, H), fwd, memory_space=pltpu.VMEM),
+            ]
+            + [
+                pl.BlockSpec((C, Bt, H), mir, memory_space=pltpu.VMEM)
+                for _ in range(nyparts)
+            ]
+            + [
+                pl.BlockSpec((C, Bt, H), fwd, memory_space=pltpu.VMEM)
+                for _ in range(nyparts)
+            ]
+            + [
                 pl.BlockSpec((Bt, 2 * H), onb, memory_space=pltpu.VMEM),
                 pl.BlockSpec((Bt, 2 * H), onb, memory_space=pltpu.VMEM),
             ]
@@ -579,7 +614,7 @@ def _bwd_pallas_packed(
         ],
         interpret=_interpret(),
     )(*x_parts, *x_parts, lengths, w_packed, wih_packed, wihT_packed,
-      bias_packed, hp_f, cp_f, hp_b, cp_b, dy_f, dy_b, dhn_p, dcn_p)
+      bias_packed, hp_f, cp_f, hp_b, cp_b, *dy_f, *dy_b, dhn_p, dcn_p)
 
     nP = len(x_parts)
     dxf, dxb = out[:nP], out[nP : 2 * nP]

@@ -215,7 +215,7 @@ def test_chunked_time_c2_matches_scan(rng, monkeypatch):
     from intrepppid_tpu.ops.lstm import _bilstm_pallas
 
     monkeypatch.setattr(
-        LPL, "pick_tiles", lambda B, T, H, G, cd=jnp.float32, E=0: (B, 2, T)
+        LPL, "pick_tiles", lambda B, T, H, G, cd=jnp.float32, E=0, **kw: (B, 2, T)
     )
     B, T, H = 8, 12, 8
     layers = init_lstm_params(jax.random.PRNGKey(7), H, H, 2)
@@ -246,7 +246,7 @@ def test_lite_backward_mode_matches_scan(rng, monkeypatch):
 
     monkeypatch.setattr(
         LPL, "pick_plan",
-        lambda B, T, H, G, cd=jnp.float32, E=0: (B, 1, T, False),
+        lambda B, T, H, G, cd=jnp.float32, E=0, **kw: (B, 1, T, False),
     )
     from intrepppid_tpu.ops import lstm as L
 
@@ -298,7 +298,7 @@ def test_bf16_kernel_tracks_f32_scan(rng, monkeypatch, fused):
 
     monkeypatch.setattr(
         LPL, "pick_plan",
-        lambda B, T, H, G, cd=jnp.float32, E=0, f=fused: (B, 1, T, f),
+        lambda B, T, H, G, cd=jnp.float32, E=0, f=fused, **kw: (B, 1, T, f),
     )
     B, T, H = 8, 12, 8
     layers = init_lstm_params(jax.random.PRNGKey(11), H, H, 2)
@@ -332,7 +332,7 @@ def test_packed_mode_matches_scan(rng, monkeypatch):
 
     monkeypatch.setattr(
         LPL, "pick_plan",
-        lambda B, T, H, G, cd=jnp.float32, E=0: (B, 1, T, "packed"),
+        lambda B, T, H, G, cd=jnp.float32, E=0, **kw: (B, 1, T, "packed"),
     )
     B, T, H = 8, 12, 8
     layers = init_lstm_params(jax.random.PRNGKey(21), H, H, 2)
@@ -377,7 +377,7 @@ def test_packed_grouped_gradients_match_v5(rng, monkeypatch):
     def run(mode):
         monkeypatch.setattr(
             LPL, "pick_plan",
-            lambda B, T, H, G, cd=jnp.float32, E=0, m=mode: (B, 1, T, m),
+            lambda B, T, H, G, cd=jnp.float32, E=0, m=mode, **kw: (B, 1, T, m),
         )
 
         def loss(layers, x):
@@ -401,7 +401,7 @@ def test_packed_multipart_input(rng, monkeypatch):
 
     monkeypatch.setattr(
         LPL, "pick_plan",
-        lambda B, T, H, G, cd=jnp.float32, E=0: (B, 1, T, "packed"),
+        lambda B, T, H, G, cd=jnp.float32, E=0, **kw: (B, 1, T, "packed"),
     )
     B, T, H = 8, 8, 8
     # 3 layers: layers 1 and 2 both take two H-wide parts
@@ -431,7 +431,7 @@ def test_packed_bf16_tracks_f32_scan(rng, monkeypatch):
 
     monkeypatch.setattr(
         LPL, "pick_plan",
-        lambda B, T, H, G, cd=jnp.float32, E=0: (B, 1, T, "packed"),
+        lambda B, T, H, G, cd=jnp.float32, E=0, **kw: (B, 1, T, "packed"),
     )
     B, T, H = 8, 12, 8
     layers = init_lstm_params(jax.random.PRNGKey(24), H, H, 2)
@@ -479,3 +479,37 @@ def test_packed_weight_roundtrip():
     np.testing.assert_array_equal(
         np.asarray(P.unpack_dbias(bp, H)), np.asarray(bias)
     )
+
+
+def test_stack_vjp_threads_unsummed_dy_streams(rng, monkeypatch):
+    """2-layer packed stack: the stack VJP feeds layer 1's unsummed
+    (dxf, dxb) pairs into layer 0's backward kernel as two dy streams
+    (summed in-register). Every gradient — inputs AND both layers'
+    weights — must match autodiff through the scan path."""
+    import intrepppid_tpu.ops.lstm_pallas_layer as LPL
+    from intrepppid_tpu.ops.lstm import _bilstm_pallas
+
+    monkeypatch.setattr(
+        LPL, "pick_plan",
+        lambda B, T, H, G, cd=jnp.float32, E=0, **kw: (B, 1, T, "packed"),
+    )
+    B, T, H = 8, 10, 8
+    layers = init_lstm_params(jax.random.PRNGKey(31), H, H, 2)
+    x = jnp.asarray(rng.normal(size=(B, T, H)).astype(np.float32))
+    ml = jnp.full((B,), T - 3, jnp.int32)
+
+    def loss_pallas(layers, x):
+        y, hn, cn = _bilstm_pallas(layers, x, ml, jnp.float32)
+        return jnp.sum(y**2) + jnp.sum(hn**2) + jnp.sum(cn**2)
+
+    def loss_scan(layers, x):
+        y, hn, cn = bilstm(layers, x, ml, backend="scan")
+        return jnp.sum(y**2) + jnp.sum(hn**2) + jnp.sum(cn**2)
+
+    vp, gp = jax.value_and_grad(loss_pallas, argnums=(0, 1))(layers, x)
+    vs, gs = jax.value_and_grad(loss_scan, argnums=(0, 1))(layers, x)
+    np.testing.assert_allclose(float(vp), float(vs), rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gs)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
