@@ -96,6 +96,21 @@ class SentencePieceTokenizer:
     def uses_native(self) -> bool:
         return self._handle is not None
 
+    def lattice_cache_stats(self) -> dict:
+        """Native per-sequence lattice-cache counters (all zero when the
+        cache is disabled via ``INTREPPPID_TPU_LATTICE_CACHE_MB=0`` or the
+        pure-Python engine is active)."""
+        if self._handle is None:
+            return {"entries": 0, "bytes": 0, "hits": 0, "misses": 0}
+        vals = [ctypes.c_int64(0) for _ in range(4)]
+        self._lib.spm_lattice_cache_stats(
+            self._handle, *(ctypes.byref(v) for v in vals)
+        )
+        return dict(
+            zip(("entries", "bytes", "hits", "misses"),
+                (v.value for v in vals))
+        )
+
     # ---------------------------------------------------------------- encode
     def encode(
         self,

@@ -73,6 +73,14 @@ def load_spm_library() -> Optional[ctypes.CDLL]:
         for fn in ("spm_vocab_size", "spm_unk_id", "spm_bos_id", "spm_eos_id", "spm_pad_id"):
             getattr(lib, fn).restype = ctypes.c_int
             getattr(lib, fn).argtypes = [ctypes.c_void_p]
+        lib.spm_lattice_cache_stats.restype = None
+        lib.spm_lattice_cache_stats.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.spm_encode.restype = ctypes.c_int
         lib.spm_encode.argtypes = [
             ctypes.c_void_p,

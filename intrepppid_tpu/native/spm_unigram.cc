@@ -23,6 +23,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <algorithm>
 #include <atomic>
@@ -30,6 +31,7 @@
 #include <limits>
 #include <mutex>
 #include <random>
+#include <shared_mutex>
 #include <thread>
 #include <string>
 #include <unordered_map>
@@ -100,6 +102,24 @@ struct TrieNode {
   float score = 0.0f;
 };
 
+// FFBS lattice in CSR form, edges for END position e at [off[e], off[e+1])
+// in the forward pass's insertion order (starts ascending). Everything the
+// backward-sampling pass reads — the forward filter itself is RNG-free and
+// depends only on (text, alpha), so one build serves every epoch's fresh
+// sampling draws. Masses are stored in each end position's power-of-two
+// scale exactly as the forward pass cached them (backward takes ratios
+// within one end position only, so no scales are needed).
+struct CachedLattice {
+  std::vector<int32_t> off;    // n+2 entries
+  std::vector<int32_t> start;  // per edge
+  std::vector<int32_t> pid;
+  std::vector<double> w;
+  size_t bytes() const {
+    return off.capacity() * 4 + start.capacity() * 4 + pid.capacity() * 4 +
+           w.capacity() * 8 + sizeof(*this);
+  }
+};
+
 struct Model {
   std::vector<Piece> pieces;
   std::vector<TrieNode> trie;
@@ -135,6 +155,19 @@ struct Model {
   // identical for any thread count.
   uint64_t base_seed = 0x853c49e6748fea9bULL;
   uint64_t seq_counter = 0;
+  // Per-sequence lattice cache (training datasets re-encode the same
+  // sequences every epoch; the forward filter is deterministic per text, so
+  // steady-state epochs pay only the backward-sampling pass — measured
+  // ~84% of host batch time was the encode, most of it the forward).
+  // Entries are only ever inserted (the byte cap stops growth) and cleared
+  // on alpha change; readers hold lat_mutex shared for their whole
+  // backward pass, so cleared entries can't be yanked out from under them.
+  std::unordered_map<std::string, CachedLattice> lat_cache;
+  std::shared_mutex lat_mutex;
+  size_t lat_bytes = 0;
+  size_t lat_cap_bytes = 0;
+  std::atomic<int64_t> lat_hits{0};
+  std::atomic<int64_t> lat_misses{0};
 };
 
 bool ParsePiece(Cursor c, Piece* out) {
@@ -261,6 +294,9 @@ struct Workspace {
   std::vector<double> best;
   std::vector<int32_t> back_start, back_piece;
   std::vector<int32_t> tmp;
+  // CSR scratch for the cache-miss / cache-disabled sampling path
+  std::vector<int32_t> c_off, c_start, c_pid;
+  std::vector<double> c_w;
 };
 // NOTE: the per-thread workspace is passed explicitly, NOT read through a
 // C++ `thread_local` inside the hot functions: this library is dlopen'd
@@ -371,23 +407,27 @@ void EnsurePieceWeights(Model* m, float alpha) {
     pw[i] = std::exp(static_cast<double>(alpha) * m->flat_score[i]);
   m->unk_pw = std::exp(static_cast<double>(alpha) * m->unk_score);
   m->flat_pw.swap(pw);
+  {
+    // cached lattice masses bake in exp(alpha*score): invalidate on change
+    std::unique_lock<std::shared_mutex> ul(m->lat_mutex);
+    m->lat_cache.clear();
+    m->lat_bytes = 0;
+  }
   m->pw_alpha.store(alpha, std::memory_order_release);
 }
 
-int SampleEncode(const Model& m, Workspace& ws, const char* text, int n,
-                 float alpha, std::mt19937_64& rng, int* out, int max_out) {
-  // Forward-filtering backward-sampling in PROBABILITY space: the forward
-  // mass at byte position p is stored as w[p] * 2^-wexp[p] (mantissa +
-  // power-of-two scale, rescaled when the mantissa drifts below 2^-256, so
-  // arbitrarily long inputs never underflow). Each edge's contribution is
-  // one f64 multiply-add against the precomputed exp(alpha*score) of its
-  // trie node — no exp/log per edge, which was the dominant host cost of
-  // the previous log-space formulation (~5x on the epoch tokenization
-  // profile). Lattice construction (trie walk) is fused into the same
-  // start-major pass; cached per-edge masses e_w are all expressed in
-  // their END position's scale, so backward sampling ratios need no scale
-  // adjustment at all.
-  (void)alpha;  // folded into m.flat_pw by EnsurePieceWeights
+// Forward-filtering half of FFBS in PROBABILITY space: the forward
+// mass at byte position p is stored as w[p] * 2^-wexp[p] (mantissa +
+// power-of-two scale, rescaled when the mantissa drifts below 2^-256, so
+// arbitrarily long inputs never underflow). Each edge's contribution is
+// one f64 multiply-add against the precomputed exp(alpha*score) of its
+// trie node — no exp/log per edge, which was the dominant host cost of
+// the previous log-space formulation (~5x on the epoch tokenization
+// profile). Lattice construction (trie walk) is fused into the same
+// start-major pass; cached per-edge masses e_w are all expressed in
+// their END position's scale, so backward sampling ratios need no scale
+// adjustment at all. Returns false when no full segmentation exists.
+bool BuildLattice(const Model& m, Workspace& ws, const char* text, int n) {
   ws.head.assign(n + 1, -1);
   ws.e_start.clear();
   ws.e_pid.clear();
@@ -445,45 +485,74 @@ int SampleEncode(const Model& m, Workspace& ws, const char* text, int n,
     }
     i += char_len;
   }
-  if (n > 0 && !(ws.w[n] > 0.0)) return -1;
+  return !(n > 0 && !(ws.w[n] > 0.0));
+}
 
-  ws.tmp.clear();  // sampled piece ids, reversed
-  std::vector<int32_t>& edge_ids = ws.back_start;  // reuse as scratch
-  edge_ids.clear();
+// Flatten the workspace's per-end linked lists to CSR. The lists yield
+// edges newest-first; filling each segment from its back restores the
+// insertion (starts-ascending) order the sampling distribution was defined
+// over — so CSR sampling is byte-identical to the linked-list walk.
+void LatticeToCSR(const Workspace& ws, int n, std::vector<int32_t>& off,
+                  std::vector<int32_t>& start, std::vector<int32_t>& pid,
+                  std::vector<double>& w) {
+  off.assign(n + 2, 0);
+  for (int e = 1; e <= n; ++e) {
+    int c = 0;
+    for (int k = ws.head[e]; k >= 0; k = ws.e_next[k]) ++c;
+    off[e + 1] = c;
+  }
+  for (int e = 1; e <= n + 1; ++e) off[e] += off[e - 1];
+  int ne = off[n + 1];
+  start.resize(ne);
+  pid.resize(ne);
+  w.resize(ne);
+  for (int e = 1; e <= n; ++e) {
+    int idx = off[e + 1];
+    for (int k = ws.head[e]; k >= 0; k = ws.e_next[k]) {
+      --idx;
+      start[idx] = ws.e_start[k];
+      pid[idx] = ws.e_pid[k];
+      w[idx] = ws.e_w[k];
+    }
+  }
+}
+
+// Backward-sampling half of FFBS over a CSR lattice (fresh or cached).
+int SampleFromCSR(const Model& m, const int32_t* off, const int32_t* es,
+                  const int32_t* ep, const double* ew, const char* text,
+                  int n, std::mt19937_64& rng, int* out, int max_out,
+                  std::vector<int32_t>& tmp) {
+  tmp.clear();  // sampled piece ids, reversed
   int pos = n;
   std::uniform_real_distribution<float> uni(0.0f, 1.0f);
   while (pos > 0) {
-    edge_ids.clear();
-    // linked list yields edges newest-first; reverse to the insertion
-    // (starts-ascending) order the distribution was defined over
-    for (int e = ws.head[pos]; e >= 0; e = ws.e_next[e]) edge_ids.push_back(e);
-    std::reverse(edge_ids.begin(), edge_ids.end());
-    // total mass from the cached edge masses (NOT w[pos], which may have
-    // been rescaled after the edges were cached)
+    int lo = off[pos], hi = off[pos + 1];
+    // total mass from the cached edge masses (NOT the forward w[pos],
+    // which may have been rescaled after the edges were cached)
     double total = 0.0;
-    for (size_t k = 0; k < edge_ids.size(); ++k) total += ws.e_w[edge_ids[k]];
+    for (int k = lo; k < hi; ++k) total += ew[k];
     double target = static_cast<double>(uni(rng)) * total;
     double cum = 0.0;
     int chosen = -1;
-    for (size_t k = 0; k < edge_ids.size(); ++k) {
-      cum += ws.e_w[edge_ids[k]];
-      if (target <= cum && ws.e_w[edge_ids[k]] > 0.0) {
-        chosen = static_cast<int>(k);
+    for (int k = lo; k < hi; ++k) {
+      cum += ew[k];
+      if (target <= cum && ew[k] > 0.0) {
+        chosen = k;
         break;
       }
     }
     if (chosen < 0) {
       // numerical slack: take the last viable edge
-      for (int k = static_cast<int>(edge_ids.size()) - 1; k >= 0; --k) {
-        if (ws.e_w[edge_ids[k]] > 0.0) {
+      for (int k = hi - 1; k >= lo; --k) {
+        if (ew[k] > 0.0) {
           chosen = k;
           break;
         }
       }
       if (chosen < 0) return -1;
     }
-    int pid = ws.e_pid[edge_ids[chosen]];
-    int start = ws.e_start[edge_ids[chosen]];
+    int pid = ep[chosen];
+    int start = es[chosen];
     // byte fallback at emission (see ViterbiEncode); tmp is reversed, so
     // bytes are pushed last-first
     bool expanded = false;
@@ -496,17 +565,58 @@ int SampleEncode(const Model& m, Workspace& ws, const char* text, int n,
         }
       if (all_bytes) {
         for (int k = pos - 1; k >= start; --k)
-          ws.tmp.push_back(m.byte_ids[static_cast<uint8_t>(text[k])]);
+          tmp.push_back(m.byte_ids[static_cast<uint8_t>(text[k])]);
         expanded = true;
       }
     }
-    if (!expanded) ws.tmp.push_back(pid);
+    if (!expanded) tmp.push_back(pid);
     pos = start;
   }
-  int count = static_cast<int>(ws.tmp.size());
+  int count = static_cast<int>(tmp.size());
   if (count > max_out) return -count;
-  for (int k = 0; k < count; ++k) out[k] = ws.tmp[count - 1 - k];
+  for (int k = 0; k < count; ++k) out[k] = tmp[count - 1 - k];
   return count;
+}
+
+int SampleEncode(Model& m, Workspace& ws, const char* text, int n,
+                 float alpha, std::mt19937_64& rng, int* out, int max_out) {
+  (void)alpha;  // folded into m.flat_pw by EnsurePieceWeights
+  if (m.lat_cap_bytes > 0) {
+    std::string key(text, n);
+    {
+      // the shared lock is held across the whole backward pass so an
+      // alpha-change clear (unique lock) can't free the entry mid-read
+      std::shared_lock<std::shared_mutex> sl(m.lat_mutex);
+      auto it = m.lat_cache.find(key);
+      if (it != m.lat_cache.end()) {
+        const CachedLattice& lat = it->second;
+        m.lat_hits.fetch_add(1, std::memory_order_relaxed);
+        return SampleFromCSR(m, lat.off.data(), lat.start.data(),
+                             lat.pid.data(), lat.w.data(), text, n, rng,
+                             out, max_out, ws.tmp);
+      }
+    }
+    m.lat_misses.fetch_add(1, std::memory_order_relaxed);
+    if (!BuildLattice(m, ws, text, n)) return -1;
+    CachedLattice lat;
+    LatticeToCSR(ws, n, lat.off, lat.start, lat.pid, lat.w);
+    int r = SampleFromCSR(m, lat.off.data(), lat.start.data(),
+                          lat.pid.data(), lat.w.data(), text, n, rng, out,
+                          max_out, ws.tmp);
+    if (r != -1) {  // cache even too-small-max_out lattices (they're valid)
+      size_t add = lat.bytes() + key.size() + 96;
+      std::unique_lock<std::shared_mutex> ul(m.lat_mutex);
+      if (m.lat_bytes + add <= m.lat_cap_bytes &&
+          m.lat_cache.emplace(std::move(key), std::move(lat)).second)
+        m.lat_bytes += add;
+    }
+    return r;
+  }
+  if (!BuildLattice(m, ws, text, n)) return -1;
+  LatticeToCSR(ws, n, ws.c_off, ws.c_start, ws.c_pid, ws.c_w);
+  return SampleFromCSR(m, ws.c_off.data(), ws.c_start.data(),
+                       ws.c_pid.data(), ws.c_w.data(), text, n, rng, out,
+                       max_out, ws.tmp);
 }
 
 }  // namespace
@@ -553,6 +663,16 @@ void* spm_load(const char* path) {
     return nullptr;
   }
   BuildTrie(m);
+  // Lattice-cache budget: INTREPPPID_TPU_LATTICE_CACHE_MB (0 disables;
+  // default 2048 MB — ~60k cached 1000-char proteins at ~64 B/char).
+  const char* env = std::getenv("INTREPPPID_TPU_LATTICE_CACHE_MB");
+  long mb = 2048;
+  if (env && *env) {
+    char* endp = nullptr;
+    long v = std::strtol(env, &endp, 10);
+    if (endp != env) mb = v;
+  }
+  m->lat_cap_bytes = mb > 0 ? static_cast<size_t>(mb) * 1024 * 1024 : 0;
   return m;
 }
 
@@ -567,6 +687,18 @@ void spm_seed(void* h, uint64_t seed) {
 
 int spm_vocab_size(void* h) {
   return static_cast<int>(static_cast<Model*>(h)->pieces.size());
+}
+
+// Lattice-cache observability (tests / tuning): entry count, resident
+// bytes, hit/miss counters since load.
+void spm_lattice_cache_stats(void* h, int64_t* entries, int64_t* bytes,
+                             int64_t* hits, int64_t* misses) {
+  Model* m = static_cast<Model*>(h);
+  std::shared_lock<std::shared_mutex> sl(m->lat_mutex);
+  if (entries) *entries = static_cast<int64_t>(m->lat_cache.size());
+  if (bytes) *bytes = static_cast<int64_t>(m->lat_bytes);
+  if (hits) *hits = m->lat_hits.load(std::memory_order_relaxed);
+  if (misses) *misses = m->lat_misses.load(std::memory_order_relaxed);
 }
 
 int spm_unk_id(void* h) { return static_cast<Model*>(h)->unk_id; }

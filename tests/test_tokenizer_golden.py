@@ -330,3 +330,68 @@ class TestSamplingOnGoldenModel:
                     assert abs(emp_nat.get(ids, 0.0) - p) < 0.035, (
                         ids, p, alpha,
                     )
+
+
+class TestLatticeCache:
+    """The native engine's per-sequence FFBS lattice cache: the forward
+    filter is deterministic per (text, alpha), so cached CSR lattices must
+    yield byte-identical sampled streams to the uncached engine, and the
+    cache must invalidate when alpha changes."""
+
+    def _engines(self, model_path, monkeypatch):
+        from intrepppid_tpu.data.tokenizer import SentencePieceTokenizer
+
+        tok_on = SentencePieceTokenizer(str(model_path))
+        monkeypatch.setenv("INTREPPPID_TPU_LATTICE_CACHE_MB", "0")
+        tok_off = SentencePieceTokenizer(str(model_path))
+        monkeypatch.delenv("INTREPPPID_TPU_LATTICE_CACHE_MB")
+        if not (tok_on.uses_native and tok_off.uses_native):
+            pytest.skip("native engine unavailable")
+        return tok_on, tok_off
+
+    def test_cached_sampling_matches_uncached(self, model_path, monkeypatch):
+        tok_on, tok_off = self._engines(model_path, monkeypatch)
+        rng = np.random.default_rng(7)
+        aa = list("ACDEFGHIKLMNPQRSTVWY")
+        seqs = [
+            "".join(rng.choice(aa, size=int(n)))
+            for n in rng.integers(5, 400, 24)
+        ]
+        tok_on.seed(123)
+        tok_off.seed(123)
+        for epoch in range(3):  # epoch 0 misses, later epochs hit
+            a = tok_on.encode_batch_padded(
+                seqs, trunc_len=400, enable_sampling=True,
+                sos=False, eos=False, workers=2,
+            )
+            b = tok_off.encode_batch_padded(
+                seqs, trunc_len=400, enable_sampling=True,
+                sos=False, eos=False, workers=2,
+            )
+            np.testing.assert_array_equal(a, b, err_msg=f"epoch {epoch}")
+        stats = tok_on.lattice_cache_stats()
+        assert stats["entries"] == len(set(seqs))
+        assert stats["hits"] >= 2 * len(seqs)
+        assert stats["bytes"] > 0
+        assert tok_off.lattice_cache_stats() == {
+            "entries": 0, "bytes": 0, "hits": 0, "misses": 0
+        }
+
+    def test_alpha_change_invalidates(self, model_path, monkeypatch):
+        tok_on, tok_off = self._engines(model_path, monkeypatch)
+        seqs = ["MKTAYIAKQR" * 8] * 4
+        tok_on.seed(5)
+        tok_off.seed(5)
+        for alpha in (0.1, 0.5, 0.1):
+            a = tok_on.encode_batch_padded(
+                seqs, trunc_len=128, enable_sampling=True, alpha=alpha,
+                sos=False, eos=False, workers=1,
+            )
+            b = tok_off.encode_batch_padded(
+                seqs, trunc_len=128, enable_sampling=True, alpha=alpha,
+                sos=False, eos=False, workers=1,
+            )
+            np.testing.assert_array_equal(a, b, err_msg=f"alpha {alpha}")
+        # each alpha change cleared the cache: only the current alpha's
+        # single unique sequence is resident
+        assert tok_on.lattice_cache_stats()["entries"] == 1
