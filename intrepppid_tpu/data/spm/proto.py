@@ -44,6 +44,9 @@ class NormalizerSpec:
     add_dummy_prefix: bool = False
     remove_extra_whitespaces: bool = True
     escape_whitespaces: bool = True
+    # serialized darts-clone trie + replacement blob (sentencepiece
+    # normalizer_spec field 2); empty = no compiled rules
+    precompiled_charsmap: bytes = b""
 
 
 @dataclass
@@ -134,6 +137,8 @@ def _parse_normalizer_spec(buf: bytes) -> NormalizerSpec:
     for fnum, wtype, val in _iter_fields(buf):
         if fnum == 1 and wtype == 2:
             spec.name = val.decode("utf-8")
+        elif fnum == 2 and wtype == 2:
+            spec.precompiled_charsmap = val
         elif fnum == 3 and wtype == 0:
             spec.add_dummy_prefix = bool(val)
         elif fnum == 4 and wtype == 0:
@@ -199,6 +204,9 @@ def serialize_model(model: SpmModel) -> bytes:
         trainer += _field(fnum, 0, _write_varint(enc))
     out += _field(2, 2, _write_varint(len(trainer)) + trainer)
     norm = _field(1, 2, _write_varint(len(model.normalizer.name.encode())) + model.normalizer.name.encode())
+    if model.normalizer.precompiled_charsmap:
+        cm = model.normalizer.precompiled_charsmap
+        norm += _field(2, 2, _write_varint(len(cm)) + cm)
     norm += _field(3, 0, _write_varint(int(model.normalizer.add_dummy_prefix)))
     norm += _field(4, 0, _write_varint(int(model.normalizer.remove_extra_whitespaces)))
     norm += _field(5, 0, _write_varint(int(model.normalizer.escape_whitespaces)))

@@ -19,12 +19,15 @@ the lattice search, and so do we (sentencepiece
 ``SentencePieceProcessor``-level byte fallback). A char whose bytes are
 not all present stays ``unk_id``.
 
-Normalisation approximates the common specs without the precompiled
-charsmap: for ``nmt_nfkc``/``nmt_nfkc_cf`` the NMT override rules from
-sentencepiece's ``Builder::BuildNmtNFKCMap`` (control chars removed,
-exotic whitespace to ASCII space) are applied before NFKC (+casefold for
-``_cf``); other non-identity specs get plain NFKC. Identity on amino acid
-sequences, the domain of this framework.
+Normalisation: when the model carries a ``precompiled_charsmap``, its
+compiled rewrite rules are applied exactly (darts-clone double-array
+longest-prefix over bytes — ``data/spm/charsmap.py``, validated against
+the HF Rust ``Precompiled`` normalizer). Without one, the common specs
+are approximated by name: for ``nmt_nfkc``/``nmt_nfkc_cf`` the NMT
+override rules from sentencepiece's ``Builder::BuildNmtNFKCMap``
+(control chars removed, exotic whitespace to ASCII space) are applied
+before NFKC (+casefold for ``_cf``); other non-identity specs get plain
+NFKC. Identity on amino acid sequences, the domain of this framework.
 
 This is the reference implementation and test oracle; the C++ engine in
 ``intrepppid_tpu/native`` is the production path (same algorithms).
@@ -75,6 +78,7 @@ class UnigramTokenizer:
         self.eos_id = model.eos_id
         self.pad_id = model.pad_id
         self._rng = np.random.default_rng()
+        self._charsmap = None  # lazy PrecompiledCharsmap (normalize())
 
         # byte-fallback table: UTF-8 byte value -> BYTE piece id ("<0xNN>")
         self.byte_ids: dict = {}
@@ -111,7 +115,22 @@ class UnigramTokenizer:
     # ------------------------------------------------------------ normalise
     def normalize(self, text: str) -> str:
         spec = self.model.normalizer
-        if spec.name.startswith("nmt_nfkc"):
+        if spec.precompiled_charsmap:
+            # exact path: the model ships its compiled rewrite rules —
+            # apply them (longest-prefix over bytes, sentencepiece
+            # normalizer.cc) instead of approximating by spec name. The
+            # compiled map already contains every rule of the named spec
+            # (casefolding included for *_cf), so nothing else applies.
+            if self._charsmap is None:
+                from intrepppid_tpu.data.spm.charsmap import (
+                    PrecompiledCharsmap,
+                )
+
+                self._charsmap = PrecompiledCharsmap(
+                    spec.precompiled_charsmap
+                )
+            text = self._charsmap.normalize(text)
+        elif spec.name.startswith("nmt_nfkc"):
             text = "".join(
                 " " if ord(c) in _NMT_TO_SPACE
                 else "" if ord(c) in _NMT_REMOVE

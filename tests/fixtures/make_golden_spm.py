@@ -135,12 +135,19 @@ def main():
     )
     blob = serialize_model(model)
 
-    # splice in fields a real sentencepiece model carries and ours must skip:
-    # normalizer_spec.precompiled_charsmap (field 2, bytes), extra
-    # trainer_spec fields, and top-level self_test_data (field 4) +
-    # denormalizer_spec (field 5).
-    charsmap = bytes(rng.integers(0, 256, size=64, dtype=np.uint8))
+    # splice in fields a real sentencepiece model carries: a VALID
+    # normalizer_spec.precompiled_charsmap (field 2 — rules that never
+    # touch the amino-acid alphabet, so goldens are unaffected but the
+    # exact charsmap path is exercised end-to-end), junk in an unknown
+    # normalizer field (15) the parser must skip, extra trainer_spec
+    # fields, and top-level self_test_data (field 4) + denormalizer_spec
+    # (field 5).
+    from make_charsmap import build_charsmap
+
+    charsmap = build_charsmap({b"\t": b" ", "　".encode(): b" "})
+    junk = bytes(rng.integers(0, 256, size=64, dtype=np.uint8))
     extra_norm = _field(2, 2, _write_varint(len(charsmap)) + charsmap)
+    extra_norm += _field(15, 2, _write_varint(len(junk)) + junk)
     norm_body = (
         _field(1, 2, _write_varint(len(b"identity")) + b"identity")
         + extra_norm
