@@ -58,6 +58,19 @@ class PrecompiledCharsmap:
             np.int64
         )
         self._norm = blob[4 + tsize :]
+        # byte -> "can start a rule" mask, read off the root's transitions.
+        # A position whose byte fails the trie's FIRST step can never begin
+        # a match, so whole spans of such bytes copy through unchanged —
+        # normalize_bytes screens with this before any per-byte Python.
+        self._start_mask = np.zeros(256, dtype=bool)
+        if len(self._units):
+            root_off = self._offset(int(self._units[0]))
+            for b in range(256):
+                p = root_off ^ b
+                if p < len(self._units) and (
+                    int(self._units[p]) & 0x800000FF
+                ) == b:
+                    self._start_mask[b] = True
 
     @staticmethod
     def _offset(unit: int) -> int:
@@ -93,9 +106,10 @@ class PrecompiledCharsmap:
             end = len(self._norm)
         return best_len, self._norm[best_val:end]
 
-    def normalize_bytes(self, data: bytes) -> bytes:
-        out = bytearray()
-        i, n = 0, len(data)
+    def _normalize_walk(self, data: bytes, i: int, out: bytearray) -> bytes:
+        """The plain sequential walk from position ``i`` (sentencepiece
+        ``normalizer.cc``): longest rule match or copy one UTF-8 char."""
+        n = len(data)
         while i < n:
             ln, rep = self.longest_match(data, i)
             if ln > 0:
@@ -110,6 +124,20 @@ class PrecompiledCharsmap:
                 out += data[i : i + cl]
                 i += cl
         return bytes(out)
+
+    def normalize_bytes(self, data: bytes) -> bytes:
+        if not data:
+            return data
+        # vectorized screen: if no byte of the text can take the trie's
+        # first transition, no rule can match at ANY position and the
+        # sequential walk is the identity — one numpy pass instead of a
+        # per-char Python loop. This is the hot case for this framework
+        # (amino-acid sequences under real-world charsmaps whose rules
+        # rewrite whitespace/compatibility chars).
+        arr = np.frombuffer(data, dtype=np.uint8)
+        if not self._start_mask[arr].any():
+            return data
+        return self._normalize_walk(data, 0, bytearray())
 
     def normalize(self, text: str) -> str:
         return self.normalize_bytes(text.encode("utf-8")).decode(

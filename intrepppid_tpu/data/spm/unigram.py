@@ -113,6 +113,52 @@ class UnigramTokenizer:
         return cls(load_model(path))
 
     # ------------------------------------------------------------ normalise
+    def _get_charsmap(self):
+        if self._charsmap is None:
+            from intrepppid_tpu.data.spm.charsmap import PrecompiledCharsmap
+
+            self._charsmap = PrecompiledCharsmap(
+                self.model.normalizer.precompiled_charsmap
+            )
+        return self._charsmap
+
+    def normalize_utf8(self, text: str) -> bytes:
+        """``normalize`` without the str round-trip: UTF-8 bytes out.
+
+        The native-engine facade feeds raw bytes to C++, so on the hot
+        batch path this avoids decoding and re-encoding every sequence —
+        with a charsmap whose rules don't touch the text (amino-acid
+        sequences), it is one numpy screen over the encoded bytes."""
+        spec = self.model.normalizer
+        if spec.precompiled_charsmap and not (
+            spec.remove_extra_whitespaces
+            or spec.add_dummy_prefix
+            or spec.escape_whitespaces
+        ):
+            return self._get_charsmap().normalize_bytes(text.encode("utf-8"))
+        return self.normalize(text).encode("utf-8")
+
+    def normalize_utf8_batch(self, texts, trunc_len=None):
+        """Batch :meth:`normalize_utf8` with ONE vectorized charsmap
+        screen over the concatenated bytes: when no byte of the whole
+        batch can start a rule (every training batch, for amino-acid
+        corpora), the per-sequence cost is just the UTF-8 encode."""
+        spec = self.model.normalizer
+        if trunc_len is not None:
+            texts = [t[:trunc_len] for t in texts]
+        if spec.precompiled_charsmap and not (
+            spec.remove_extra_whitespaces
+            or spec.add_dummy_prefix
+            or spec.escape_whitespaces
+        ):
+            raw = [t.encode("utf-8") for t in texts]
+            cm = self._get_charsmap()
+            blob = b"".join(raw)
+            if blob and cm._start_mask[np.frombuffer(blob, np.uint8)].any():
+                raw = [cm.normalize_bytes(r) for r in raw]
+            return raw
+        return [self.normalize(t).encode("utf-8") for t in texts]
+
     def normalize(self, text: str) -> str:
         spec = self.model.normalizer
         if spec.precompiled_charsmap:
@@ -121,15 +167,7 @@ class UnigramTokenizer:
             # normalizer.cc) instead of approximating by spec name. The
             # compiled map already contains every rule of the named spec
             # (casefolding included for *_cf), so nothing else applies.
-            if self._charsmap is None:
-                from intrepppid_tpu.data.spm.charsmap import (
-                    PrecompiledCharsmap,
-                )
-
-                self._charsmap = PrecompiledCharsmap(
-                    spec.precompiled_charsmap
-                )
-            text = self._charsmap.normalize(text)
+            text = self._get_charsmap().normalize(text)
         elif spec.name.startswith("nmt_nfkc"):
             text = "".join(
                 " " if ord(c) in _NMT_TO_SPACE

@@ -119,9 +119,8 @@ class SentencePieceTokenizer:
         alpha: float = 0.1,
         nbest_size: int = -1,
     ) -> List[int]:
-        norm = self._py.normalize(text)
         if self._handle is not None:
-            raw = norm.encode("utf-8")
+            raw = self._py.normalize_utf8(text)
             max_out = len(raw) + 1
             out = (ctypes.c_int * max_out)()
             n = self._lib.spm_encode(
@@ -161,7 +160,7 @@ class SentencePieceTokenizer:
         if n == 0:
             return out
         if self._handle is not None and not sos and not eos:
-            norm = [self._py.normalize(t[:trunc_len]).encode("utf-8") for t in texts]
+            norm = self._py.normalize_utf8_batch(texts, trunc_len)
             blob = b"".join(norm)
             offsets = np.zeros(n + 1, np.int64)
             np.cumsum([len(b) for b in norm], out=offsets[1:])
