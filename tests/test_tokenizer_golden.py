@@ -512,3 +512,25 @@ class TestPrecompiledCharsmap:
         t = "Ａ̊"  # fullwidth A (rule -> "A") + combining ring
         assert mine.normalize(t) == "Å"  # tail preserved (spm)
         assert hf.normalize_str(t) == "A"  # HF approximation drops it
+
+    def test_screen_fast_path_is_exact(self, blob):
+        """The vectorized no-candidate screen must equal the sequential
+        walk byte-for-byte, including on malformed UTF-8."""
+        from intrepppid_tpu.data.spm.charsmap import PrecompiledCharsmap
+
+        mine = PrecompiledCharsmap(blob)
+        cases = [
+            b"MKVLQAGE",                     # no candidate: identity
+            b"\xe4AB",                       # malformed lead swallowing ASCII
+            b"abc\xff\xfe",                  # invalid bytes
+            "\uff21\u2603".encode() + b"\xcc",  # candidates + dangling lead
+            b"",
+            b"\x80\x80",                     # bare continuation bytes
+        ]
+        for data in cases:
+            walk = mine._normalize_walk(data, 0, bytearray())
+            assert mine.normalize_bytes(data) == walk, data
+            if data and not mine._start_mask[list(data)].any():
+                # screened case: the walk must be identity for the
+                # screen to be exact
+                assert walk == data
