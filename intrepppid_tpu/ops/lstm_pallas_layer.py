@@ -129,6 +129,7 @@ class _PlanDims:
         self.Ep = max(2 * self.Hp, ((E + 127) // 128) * 128)
         self.B = B
         self.Bg = B // G if G > 0 else B
+        self.E = E
 
     def gpt(self, bt: int) -> int:
         return bt // self.Bg if bt > self.Bg else 1
@@ -850,9 +851,17 @@ def pallas_bidir_layer(
         from intrepppid_tpu.ops import lstm_pallas_packed as P
 
         wp, wihp, _, bp = P.pack_operands(w_hh_t, wih_t, bias_f, compute_dtype)
+        # the forward sweep runs at the pipeline floor: chunk it harder
+        # than the (VMEM-bound) backward — bitwise identical, measured
+        # ~1.08x (tools/experiment_fwd_chunk.py)
+        Cf = P.pick_fwd_chunk(
+            x_parts[0].shape[1], x_parts[0].shape[0], H, G, compute_dtype,
+            sum(p.shape[-1] for p in x_parts), Bt,
+        )
         hs_f, hs_b, hn2, cn2 = P._fwd_pallas_packed(
             tuple(x_parts), lengths, wp, wihp, bp,
-            Bt=Bt, C=C, G=G, H=H, compute_dtype=compute_dtype,
+            Bt=Bt, C=(Cf if C == 1 else C), G=G, H=H,
+            compute_dtype=compute_dtype,
             with_states=False,
         )
         return hs_f, hs_b, _unpack_state(hn2, H), _unpack_state(cn2, H)
@@ -873,9 +882,17 @@ def _layer_fwd(
         from intrepppid_tpu.ops import lstm_pallas_packed as P
 
         wp, wihp, _, bp = P.pack_operands(w_hh_t, wih_t, bias_f, compute_dtype)
+        # forward-only chunking (see pallas_bidir_layer primal): the
+        # residual streams' layout is C-independent, so the C=1 backward
+        # consumes them unchanged
+        Cf = P.pick_fwd_chunk(
+            x_parts[0].shape[1], x_parts[0].shape[0], H, G, compute_dtype,
+            sum(p.shape[-1] for p in x_parts), Bt,
+        )
         hs_f, hs_b, cs_f, cs_b, hn2, cn2 = P._fwd_pallas_packed(
             tuple(x_parts), lengths, wp, wihp, bp,
-            Bt=Bt, C=C, G=G, H=H, compute_dtype=compute_dtype,
+            Bt=Bt, C=(Cf if C == 1 else C), G=G, H=H,
+            compute_dtype=compute_dtype,
             with_states=True,
         )
         residuals = (

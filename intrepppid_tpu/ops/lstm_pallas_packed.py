@@ -168,23 +168,52 @@ def pick_tiles_packed(
         return streams + fixed
 
     def fwd_vmem(bt: int, c: int) -> int:
-        streams = 2 * (
-            2 * c * bt * Ep * sb        # x parts in
-            + 4 * c * bt * Hp * sb      # hs/cs out
-        )
-        gpt = dims.gpt(bt)
-        fixed = (
-            2 * 2 * bt * 2 * H * 4      # hn/cn out, dbl
-            + 2 * gpt * 16 * H * H * sb
-            + 2 * e2h8 * sb             # wihp resident, dbl
-            + 2 * bt * 2 * H * 4        # h/c scratch
-        )
-        return streams + fixed
+        return _fwd_vmem_packed(dims, bt, c)
 
     for bt in dims.candidates():
         if max(bwd_vmem(bt, 1), fwd_vmem(bt, 1)) <= _VMEM_BUDGET:
             return bt, 1, T
     return None
+
+
+def _fwd_vmem_packed(dims: _PlanDims, bt: int, c: int) -> int:
+    """VMEM footprint of the packed FORWARD sweep at chunk ``c``."""
+    sb, Hp, H = dims.sb, dims.Hp, dims.H
+    Ep = dims.Ep
+    Ew = max(2 * H, dims.E)         # weight-side (real concat) width
+    e2h8 = 2 * Ew * 8 * H
+    streams = 2 * (
+        2 * c * bt * Ep * sb        # x parts in
+        + 4 * c * bt * Hp * sb      # hs/cs out
+    )
+    gpt = dims.gpt(bt)
+    fixed = (
+        2 * 2 * bt * 2 * H * 4      # hn/cn out, dbl
+        + 2 * gpt * 16 * H * H * sb
+        + 2 * e2h8 * sb             # wihp resident, dbl
+        + 2 * bt * 2 * H * 4        # h/c scratch
+    )
+    return streams + fixed
+
+
+def pick_fwd_chunk(
+    B: int, Tp: int, H: int, G: int, compute_dtype, E: int, Bt: int,
+) -> int:
+    """Independent time chunk for the packed FORWARD sweep.
+
+    The v6 forward runs at the per-grid-step pipeline floor (~3.7 us at
+    the flagship shape), so fewer-but-fatter grid steps amortize the fixed
+    cost: measured on v5e, C=4 is 1.08x (eval fwd) / 1.10x (train fwd with
+    state streams) over C=1, bitwise-identical outputs
+    (`tools/experiment_fwd_chunk.py`). The BACKWARD cannot chunk at the
+    flagship Bt (its C=2 stream set exceeds VMEM), so the plan's C stays 1
+    and only the forward calls use this. Returns the largest c in (4, 2, 1)
+    dividing ``Tp`` whose forward footprint fits VMEM."""
+    dims = _PlanDims(B, H, G, compute_dtype, E)
+    for c in (4, 2, 1):
+        if Tp % c == 0 and _fwd_vmem_packed(dims, Bt, c) <= _VMEM_BUDGET:
+            return c
+    return 1
 
 
 # ------------------------------------------------------------ forward

@@ -513,3 +513,36 @@ def test_stack_vjp_threads_unsummed_dy_streams(rng, monkeypatch):
         jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gs)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_packed_fwd_chunk_parity(rng):
+    """The packed forward at C in {1, 2, 4} is exactly identical under
+    ragged lengths (the production path chunks the forward harder than
+    the backward — pick_fwd_chunk — so C-invariance is load-bearing)."""
+    from intrepppid_tpu.ops import lstm_pallas_packed as P
+
+    B, T, H, G, E = 8, 12, 8, 2, 8
+    w_hh_t = jnp.asarray(rng.normal(size=(2, G, H, 4 * H)).astype(np.float32)) * 0.3
+    wih_t = jnp.asarray(rng.normal(size=(2, E, 4 * H)).astype(np.float32)) * 0.3
+    bias = jnp.asarray(rng.normal(size=(2, 4 * H)).astype(np.float32)) * 0.3
+    wp, wihp, _, bp = P.pack_operands(w_hh_t, wih_t, bias, jnp.float32)
+    x = jnp.asarray(rng.normal(size=(T, B, E)).astype(np.float32))
+    lengths = jnp.asarray(
+        rng.integers(1, T + 1, size=(B, 1)).astype(np.int32)
+    )
+    for with_states in (False, True):
+        ref = None
+        for c in (1, 2, 4):
+            out = P._fwd_pallas_packed(
+                (x,), lengths, wp, wihp, bp, Bt=B, C=c, G=G, H=H,
+                compute_dtype=jnp.float32, with_states=with_states,
+            )
+            leaves = [np.asarray(v) for v in jax.tree_util.tree_leaves(out)]
+            if ref is None:
+                ref = leaves
+            else:
+                # bitwise on real TPU (tools/experiment_fwd_chunk.py);
+                # interpret mode's CPU lowering reassociates FMAs across
+                # the unrolled chunk, so near-exact here
+                for a, b in zip(ref, leaves):
+                    np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
