@@ -273,3 +273,40 @@ class TestSWA:
         assert swa.lr_scale(0, base) == 1.0
         late = swa.lr_scale(swa.swa_start + 100, base)
         assert abs(late * base - 1e-3) < 1e-9
+
+    @pytest.mark.parametrize(
+        "base,swa_lr,anneal,E",
+        [
+            (1e-2, 1e-3, 10, 25),   # anneal completes well before fit end
+            (5e-3, 1e-2, 10, 14),   # anneal truncated by fit end (up-anneal)
+            (1e-2, 1e-2, 5, 30),    # degenerate: swa_lr == base
+            (3e-4, 1e-2, 1, 12),    # single-epoch anneal
+        ],
+    )
+    def test_lr_anneal_matches_torch_swalr(self, base, swa_lr, anneal, E):
+        """``lr_scale`` reproduces torch's SWALR (cosine) epoch-by-epoch.
+
+        Lightning's StochasticWeightAveraging swaps in
+        ``torch.optim.swa_utils.SWALR(optimizer, swa_lrs, anneal_epochs,
+        anneal_strategy="cos")`` when ``current_epoch == swa_start``
+        (reference wiring: /root/reference/intrepppid/e2e/e2e_triplet.py:390)
+        and steps it once per epoch thereafter, so the LR used during epoch
+        ``swa_start + k`` is the optimizer LR after k scheduler steps. Drive
+        the real torch scheduler as the oracle; our closed-form multiplier
+        must match every epoch of the fit, including past the anneal end."""
+        swa = SWAState(
+            SWAConfig(swa_lr=swa_lr, annealing_epochs=anneal), num_epochs=E
+        )
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=base)
+        sched = torch.optim.swa_utils.SWALR(
+            opt, swa_lr=swa_lr, anneal_epochs=anneal, anneal_strategy="cos"
+        )
+        for epoch in range(swa.swa_start, E):
+            torch_lr = opt.param_groups[0]["lr"]
+            ours = swa.lr_scale(epoch, base) * base
+            assert abs(ours - torch_lr) <= 1e-12 + 1e-10 * abs(torch_lr), (
+                epoch, ours, torch_lr,
+            )
+            opt.step()
+            sched.step()
