@@ -126,13 +126,17 @@ def pack_operands(w_hh_t, wih_t, bias_f, compute_dtype):
 
 def pick_tiles_packed(
     B: int, T: int, H: int, G: int, compute_dtype=jnp.float32, E: int = 0,
-    nyparts: int = 1,
+    nyparts: int = 1, saved_gates: bool = False,
 ) -> Optional[Tuple[int, int, int]]:
     """Packed-plan tile choice. Eligible only at ``2*H == 128``.
 
     ``nyparts`` is the number of dy contribution streams per direction the
     backward will receive (2 when the stack VJP threads the upper layer's
     unsummed dxf/dxb pairs in, 1 for a top/standalone layer).
+    ``saved_gates`` budgets the saved-gates backward (activated gates
+    streamed from the forward instead of recomputed in-kernel) — measured
+    a WASH at the flagship shape and not used in production; see
+    ``tools/experiment_saved_gates.py`` and ``docs/performance.md``.
 
     Exact block accounting (not the v5 ``_PlanDims`` reuse — its ``Ep`` is
     the per-part lane-PADDED stream width, which overstates the weight-side
@@ -154,13 +158,17 @@ def pick_tiles_packed(
             + 2 * c * bt * Ep * sb      # dx out, both directions
             # hp/cp (x2 dirs) + nyparts dy streams (x2 dirs)
             + (4 + 2 * nyparts) * c * bt * Hp * sb
+            # saved-gates mode streams the fwd's activated gates in and
+            # drops the wihp resident (the xg recompute is gone)
+            + (c * bt * 8 * H * sb if saved_gates else 0)
         )
         gpt = dims.gpt(bt)
         w16 = gpt * 16 * H * H          # (GPT, 2H, 8H) element count
         fixed = (
             2 * 2 * bt * 2 * H * 4      # dhn/dcn in (Bt, 2H) f32, dbl
             + 2 * w16 * sb              # packed w block, dbl
-            + 2 * 2 * e2h8 * sb         # wihp + wihTp resident, dbl
+            # wihTp resident always; wihp only in recompute mode
+            + (1 if saved_gates else 2) * 2 * e2h8 * sb
             + 2 * bt * 2 * H * 4        # dh/dc scratch (Bt, 2H) f32
             + 3 * w16 * 4               # dw scratch + dbl tile out
             + 3 * e2h8 * 4              # dwih scratch + dbl tile out
@@ -168,7 +176,7 @@ def pick_tiles_packed(
         return streams + fixed
 
     def fwd_vmem(bt: int, c: int) -> int:
-        return _fwd_vmem_packed(dims, bt, c)
+        return _fwd_vmem_packed(dims, bt, c, with_gates=saved_gates)
 
     for bt in dims.candidates():
         if max(bwd_vmem(bt, 1), fwd_vmem(bt, 1)) <= _VMEM_BUDGET:
@@ -176,7 +184,9 @@ def pick_tiles_packed(
     return None
 
 
-def _fwd_vmem_packed(dims: _PlanDims, bt: int, c: int) -> int:
+def _fwd_vmem_packed(
+    dims: _PlanDims, bt: int, c: int, with_gates: bool = False
+) -> int:
     """VMEM footprint of the packed FORWARD sweep at chunk ``c``."""
     sb, Hp, H = dims.sb, dims.Hp, dims.H
     Ep = dims.Ep
@@ -185,6 +195,7 @@ def _fwd_vmem_packed(dims: _PlanDims, bt: int, c: int) -> int:
     streams = 2 * (
         2 * c * bt * Ep * sb        # x parts in
         + 4 * c * bt * Hp * sb      # hs/cs out
+        + (c * bt * 8 * H * sb if with_gates else 0)  # gates out
     )
     gpt = dims.gpt(bt)
     fixed = (
@@ -198,6 +209,7 @@ def _fwd_vmem_packed(dims: _PlanDims, bt: int, c: int) -> int:
 
 def pick_fwd_chunk(
     B: int, Tp: int, H: int, G: int, compute_dtype, E: int, Bt: int,
+    with_gates: bool = False,
 ) -> int:
     """Independent time chunk for the packed FORWARD sweep.
 
@@ -211,7 +223,10 @@ def pick_fwd_chunk(
     dividing ``Tp`` whose forward footprint fits VMEM."""
     dims = _PlanDims(B, H, G, compute_dtype, E)
     for c in (4, 2, 1):
-        if Tp % c == 0 and _fwd_vmem_packed(dims, Bt, c) <= _VMEM_BUDGET:
+        if (
+            Tp % c == 0
+            and _fwd_vmem_packed(dims, Bt, c, with_gates) <= _VMEM_BUDGET
+        ):
             return c
     return 1
 
@@ -221,13 +236,17 @@ def pick_fwd_chunk(
 
 def _fwd_kernel_packed(
     *refs, nparts: int, C: int, Bt: int, H: int, compute_dtype,
-    with_states: bool,
+    with_states: bool, with_gates: bool = False,
 ):
     parts_f = refs[:nparts]
     parts_b = refs[nparts : 2 * nparts]
     len_ref, w_ref, wih_ref, bias_ref = refs[2 * nparts : 2 * nparts + 4]
     rest = refs[2 * nparts + 4 :]
-    if with_states:
+    gs_ref = None
+    if with_gates:
+        (hsf_ref, hsb_ref, csf_ref, csb_ref, gs_ref, hn_ref, cn_ref,
+         h_scr, c_scr) = rest
+    elif with_states:
         (hsf_ref, hsb_ref, csf_ref, csb_ref, hn_ref, cn_ref,
          h_scr, c_scr) = rest
     else:
@@ -287,6 +306,14 @@ def _fwd_kernel_packed(
         if csf_ref is not None:
             csf_ref[s] = c_scr[:, :H].astype(csf_ref.dtype)
             csb_ref[sb] = c_scr[:, H:].astype(csb_ref.dtype)
+        if gs_ref is not None:
+            # the packed row at fwd-dir time index pos_f always pairs the
+            # f-dir gates at pos_f with the b-dir gates at Tp-1-pos_f,
+            # for ANY chunking — exactly the pair the backward's grid step
+            # nT-1-t consumes at its in-chunk index C-1-i (== this s)
+            gs_ref[s] = jnp.concatenate([i, f, g, o], axis=-1).astype(
+                gs_ref.dtype
+            )
 
     if C <= 4:
         for s in range(C):
@@ -312,10 +339,13 @@ def _w_spec_packed(B, Bt, G, H):
 
 def _fwd_pallas_packed(x_parts, lengths, w_packed, wih_packed, bias_packed,
                        *, Bt: int, C: int, G: int, H: int, compute_dtype,
-                       with_states: bool):
+                       with_states: bool, with_gates: bool = False):
     """Same contract as ``_bwd_pallas``'s sibling ``_fwd_pallas`` except
     ``hn``/``cn`` come back packed ``(B, 2H)`` (callers unpack with one
-    cheap XLA slice-stack)."""
+    cheap XLA slice-stack). ``with_gates`` additionally returns the
+    activated gate stream ``gs (Tp, B, 8H)`` (packed layout, see kernel
+    note) for a recompute-free backward."""
+    assert not (with_gates and not with_states)
     Tp, B, _ = x_parts[0].shape
     part_dims = [p.shape[-1] for p in x_parts]
     nB, nT = B // Bt, Tp // C
@@ -333,6 +363,10 @@ def _fwd_pallas_packed(x_parts, lengths, w_packed, wih_packed, bias_packed,
     if with_states:
         out_specs += [st_out, st_out_m]
         out_shape += [st_shape, st_shape]
+    if with_gates:
+        out_specs += [pl.BlockSpec((C, Bt, 8 * H), fwd,
+                                   memory_space=pltpu.VMEM)]
+        out_shape += [jax.ShapeDtypeStruct((Tp, B, 8 * H), compute_dtype)]
     out_specs += [
         pl.BlockSpec((Bt, 2 * H), onb, memory_space=pltpu.VMEM),
         pl.BlockSpec((Bt, 2 * H), onb, memory_space=pltpu.VMEM),
@@ -345,6 +379,7 @@ def _fwd_pallas_packed(x_parts, lengths, w_packed, wih_packed, bias_packed,
     kernel = functools.partial(
         _fwd_kernel_packed, nparts=len(x_parts), C=C, Bt=Bt, H=H,
         compute_dtype=compute_dtype, with_states=with_states,
+        with_gates=with_gates,
     )
     return pl.pallas_call(
         kernel,
@@ -371,17 +406,31 @@ def _fwd_pallas_packed(x_parts, lengths, w_packed, wih_packed, bias_packed,
 
 def _bwd_kernel_packed(
     *refs, nparts: int, nyparts: int, C: int, Bt: int, H: int,
-    compute_dtype, shift_in_kernel: bool,
+    compute_dtype, shift_in_kernel: bool, saved_gates: bool = False,
 ):
     parts_f = refs[:nparts]
     parts_b = refs[nparts : 2 * nparts]
-    (len_ref, w_ref, wih_ref, wihT_ref, bias_ref,
-     hpf_ref, cpf_ref, hpb_ref, cpb_ref) = refs[2 * nparts : 2 * nparts + 9]
+    if saved_gates:
+        # no wih/bias operands: the forward's activated gates arrive as a
+        # stream instead of being recomputed (v6.3) — drops 2 GEMMs and
+        # 4 transcendentals per cell step from the sweep
+        (len_ref, w_ref, wihT_ref, gs_ref,
+         hpf_ref, cpf_ref, hpb_ref, cpb_ref) = refs[
+            2 * nparts : 2 * nparts + 8
+        ]
+        wih_ref = bias_ref = None
+        p = 2 * nparts + 8
+    else:
+        (len_ref, w_ref, wih_ref, wihT_ref, bias_ref,
+         hpf_ref, cpf_ref, hpb_ref, cpb_ref) = refs[
+            2 * nparts : 2 * nparts + 9
+        ]
+        gs_ref = None
+        p = 2 * nparts + 9
     # dy arrives as nyparts contribution streams per direction (the stack
     # VJP threads the previous layer's dxf/dxb pairs straight in; the sum
     # happens in-register below, in the sweep's shadow — the XLA adds it
     # replaces were ~1 ms/step at the flagship shape, device-profiled)
-    p = 2 * nparts + 9
     dyf_refs = refs[p : p + nyparts]
     dyb_refs = refs[p + nyparts : p + 2 * nyparts]
     dhn_ref, dcn_ref = refs[p + 2 * nyparts : p + 2 * nyparts + 2]
@@ -441,20 +490,27 @@ def _bwd_kernel_packed(
         xf = pf[0] if nparts == 1 else jnp.concatenate(pf, axis=-1)
         xb = pb[0] if nparts == 1 else jnp.concatenate(pb, axis=-1)
         xp = jnp.concatenate([xf, xb], axis=-1).astype(compute_dtype)
-        xg = jax.lax.dot_general(
-            xp, wih_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bias_ref[...].astype(jnp.float32)[None, :]
         hb = h_prev.astype(compute_dtype).reshape(GPT, Bgr, H2)
-        rec = jax.lax.dot_general(
-            hb, w_ref[...], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).reshape(Bt, 8 * H)
-        gates = xg + rec
-        ig = jax.nn.sigmoid(gates[:, :H2])
-        f = jax.nn.sigmoid(gates[:, H2 : 2 * H2])
-        gg_ = jnp.tanh(gates[:, 2 * H2 : 3 * H2])
-        o = jax.nn.sigmoid(gates[:, 3 * H2 :])
+        if saved_gates:
+            acts = gs_ref[s].astype(jnp.float32)
+            ig = acts[:, :H2]
+            f = acts[:, H2 : 2 * H2]
+            gg_ = acts[:, 2 * H2 : 3 * H2]
+            o = acts[:, 3 * H2 :]
+        else:
+            xg = jax.lax.dot_general(
+                xp, wih_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bias_ref[...].astype(jnp.float32)[None, :]
+            rec = jax.lax.dot_general(
+                hb, w_ref[...], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).reshape(Bt, 8 * H)
+            gates = xg + rec
+            ig = jax.nn.sigmoid(gates[:, :H2])
+            f = jax.nn.sigmoid(gates[:, H2 : 2 * H2])
+            gg_ = jnp.tanh(gates[:, 2 * H2 : 3 * H2])
+            o = jax.nn.sigmoid(gates[:, 3 * H2 :])
         c_new = f * c_prev + ig * gg_
 
         dyf = dyf_refs[0][s].astype(jnp.float32)
@@ -533,7 +589,7 @@ def _bwd_pallas_packed(
     x_parts, lengths, w_packed, wih_packed, wihT_packed, bias_packed,
     hp_f, cp_f, hp_b, cp_b, dy_f, dy_b, dhn_p, dcn_p,
     *, Bt: int, C: int, G: int, H: int, compute_dtype,
-    shift_in_kernel: bool = False,
+    shift_in_kernel: bool = False, gs=None,
 ):
     """Packed analogue of v5's ``_bwd_pallas``. ``dhn_p``/``dcn_p`` are
     ``(B, 2H)``; returns ``dxf, dxb`` per part plus the PACKED gradient
@@ -543,14 +599,19 @@ def _bwd_pallas_packed(
     ``dy_f``/``dy_b`` may each be a single ``(Tp, B, H)`` array or a tuple
     of such streams (equal length for both); streams are summed in-kernel,
     which lets the stack VJP skip the XLA adds that would otherwise merge
-    the upper layer's dxf/dxb contributions."""
+    the upper layer's dxf/dxb contributions.
+
+    ``gs`` (optional): the forward's activated-gate stream ``(Tp, B, 8H)``
+    (from ``_fwd_pallas_packed(with_gates=True)``). When given, the sweep
+    reads gates instead of recomputing them and ``wih_packed`` /
+    ``bias_packed`` are unused (pass None)."""
     if not isinstance(dy_f, (tuple, list)):
         dy_f, dy_b = (dy_f,), (dy_b,)
     dy_f, dy_b = tuple(dy_f), tuple(dy_b)
     assert len(dy_f) == len(dy_b)
     nyparts = len(dy_f)
     Tp, B, _ = x_parts[0].shape
-    E2 = wih_packed.shape[0]
+    E2 = wihT_packed.shape[1]
     part_dims = [p.shape[-1] for p in x_parts]
     nB, nT = B // Bt, Tp // C
     Bg = B // G
@@ -569,11 +630,27 @@ def _bwd_pallas_packed(
     kernel = functools.partial(
         _bwd_kernel_packed, nparts=len(x_parts), nyparts=nyparts, C=C,
         Bt=Bt, H=H, compute_dtype=compute_dtype,
-        shift_in_kernel=shift_in_kernel,
+        shift_in_kernel=shift_in_kernel, saved_gates=gs is not None,
     )
     dx_shape = [
         jax.ShapeDtypeStruct((Tp, B, E), compute_dtype) for E in part_dims
     ]
+    if gs is None:
+        weight_ops = [
+            _resident_spec(wih_packed.shape),
+            _resident_spec(wihT_packed.shape),
+            _resident_spec(bias_packed.shape),
+        ]
+        weight_args = [wih_packed, wihT_packed, bias_packed]
+    else:
+        # gates streamed with the mir map: the packed row at fwd-dir time
+        # index p pairs (f-dir @ p, b-dir @ Tp-1-p) for any chunking, which
+        # is exactly this grid step's (pos_f, pos_b) at in-chunk index s
+        weight_ops = [
+            _resident_spec(wihT_packed.shape),
+            pl.BlockSpec((C, Bt, 8 * H), mir, memory_space=pltpu.VMEM),
+        ]
+        weight_args = [wihT_packed, gs]
     out = pl.pallas_call(
         kernel,
         grid=(nB, nT),
@@ -583,9 +660,9 @@ def _bwd_pallas_packed(
             + [
                 pl.BlockSpec((Bt, 1), lmap, memory_space=pltpu.VMEM),
                 _w_spec_packed(B, Bt, G, H),
-                _resident_spec(wih_packed.shape),
-                _resident_spec(wihT_packed.shape),
-                _resident_spec(bias_packed.shape),
+            ]
+            + weight_ops
+            + [
                 pl.BlockSpec((C, Bt, H), prev_f, memory_space=pltpu.VMEM),
                 pl.BlockSpec((C, Bt, H), prev_f, memory_space=pltpu.VMEM),
                 pl.BlockSpec((C, Bt, H), prev_b, memory_space=pltpu.VMEM),
@@ -642,8 +719,8 @@ def _bwd_pallas_packed(
             pltpu.VMEM((1, 8 * H), jnp.float32),
         ],
         interpret=_interpret(),
-    )(*x_parts, *x_parts, lengths, w_packed, wih_packed, wihT_packed,
-      bias_packed, hp_f, cp_f, hp_b, cp_b, *dy_f, *dy_b, dhn_p, dcn_p)
+    )(*x_parts, *x_parts, lengths, w_packed, *weight_args,
+      hp_f, cp_f, hp_b, cp_b, *dy_f, *dy_b, dhn_p, dcn_p)
 
     nP = len(x_parts)
     dxf, dxb = out[:nP], out[nP : 2 * nP]

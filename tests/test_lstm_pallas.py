@@ -546,3 +546,53 @@ def test_packed_fwd_chunk_parity(rng):
                 # the unrolled chunk, so near-exact here
                 for a, b in zip(ref, leaves):
                     np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
+
+
+def test_packed_saved_gates_backward_matches_recompute(rng):
+    """The saved-gates backward (forward streams its activated gates,
+    backward skips the per-step recompute) is exactly the recompute
+    backward in f32 — including a chunked forward (Cf=4) feeding the
+    C=1 backward, which pins the C-independent (pos_f, Tp-1-pos_f) gate
+    pairing. Measured a WASH at the flagship shape on v5e (the gate
+    write/read HBM traffic cancels the dropped transcendentals —
+    tools/experiment_saved_gates.py), so production keeps the recompute;
+    this pins the capability against rot."""
+    from intrepppid_tpu.ops import lstm_pallas_packed as P
+
+    B, T, H, G, E = 8, 12, 8, 2, 8
+    w_hh_t = jnp.asarray(rng.normal(size=(2, G, H, 4 * H)).astype(np.float32)) * 0.3
+    wih_t = jnp.asarray(rng.normal(size=(2, E, 4 * H)).astype(np.float32)) * 0.3
+    bias = jnp.asarray(rng.normal(size=(2, 4 * H)).astype(np.float32)) * 0.3
+    wp, wihp, wihTp, bp = P.pack_operands(w_hh_t, wih_t, bias, jnp.float32)
+    x = jnp.asarray(rng.normal(size=(T, B, E)).astype(np.float32))
+    lengths = jnp.asarray(rng.integers(1, T + 1, size=(B, 1)).astype(np.int32))
+    dy_f = (jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32)),)
+    dy_b = (jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32)),)
+    dhn_p = jnp.asarray(rng.normal(size=(B, 2 * H)).astype(np.float32))
+    dcn_p = jnp.zeros((B, 2 * H), jnp.float32)
+
+    for Cf in (1, 4):
+        hs_f, hs_b, cs_f, cs_b, gs, _, _ = P._fwd_pallas_packed(
+            (x,), lengths, wp, wihp, bp, Bt=B, C=Cf, G=G, H=H,
+            compute_dtype=jnp.float32, with_states=True, with_gates=True,
+        )
+        rc = P._bwd_pallas_packed(
+            (x,), lengths, wp, wihp, wihTp, bp,
+            hs_f, cs_f, hs_b, cs_b, dy_f, dy_b, dhn_p, dcn_p,
+            Bt=B, C=1, G=G, H=H, compute_dtype=jnp.float32,
+            shift_in_kernel=True,
+        )
+        sg = P._bwd_pallas_packed(
+            (x,), lengths, wp, None, wihTp, None,
+            hs_f, cs_f, hs_b, cs_b, dy_f, dy_b, dhn_p, dcn_p,
+            Bt=B, C=1, G=G, H=H, compute_dtype=jnp.float32,
+            shift_in_kernel=True, gs=gs,
+        )
+        for a, b in zip(jax.tree_util.tree_leaves(rc),
+                        jax.tree_util.tree_leaves(sg)):
+            # the saved f32 gates are the forward's exact values, so the
+            # only delta vs recompute is FMA reassociation in interpret
+            # mode's CPU lowering
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+            )
