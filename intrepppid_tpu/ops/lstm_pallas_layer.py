@@ -889,15 +889,26 @@ def _layer_fwd(
             x_parts[0].shape[1], x_parts[0].shape[0], H, G, compute_dtype,
             sum(p.shape[-1] for p in x_parts), Bt,
         )
-        hs_f, hs_b, cs_f, cs_b, hn2, cn2 = P._fwd_pallas_packed(
-            tuple(x_parts), lengths, wp, wihp, bp,
-            Bt=Bt, C=(Cf if C == 1 else C), G=G, H=H,
-            compute_dtype=compute_dtype,
-            with_states=True,
-        )
+        if P.PACK_CS:
+            # one full-width cell-residual stream instead of two
+            # half-width ones (cs_b slot carries None to mark the mode)
+            hs_f, hs_b, cs_p, hn2, cn2 = P._fwd_pallas_packed(
+                tuple(x_parts), lengths, wp, wihp, bp,
+                Bt=Bt, C=(Cf if C == 1 else C), G=G, H=H,
+                compute_dtype=compute_dtype,
+                with_states=True, pack_cs=True,
+            )
+            cs_a, cs_b = cs_p, None
+        else:
+            hs_f, hs_b, cs_a, cs_b, hn2, cn2 = P._fwd_pallas_packed(
+                tuple(x_parts), lengths, wp, wihp, bp,
+                Bt=Bt, C=(Cf if C == 1 else C), G=G, H=H,
+                compute_dtype=compute_dtype,
+                with_states=True,
+            )
         residuals = (
             tuple(x_parts), w_ih, bias, w_hh_t, lengths,
-            hs_f, hs_b, cs_f, cs_b,
+            hs_f, hs_b, cs_a, cs_b,
         )
         return (
             hs_f, hs_b, _unpack_state(hn2, H), _unpack_state(cn2, H)
@@ -940,10 +951,26 @@ def _packed_bwd_streams(
     sweep). Returns ``(dxf, dxb, dw_ih, dbias, dw)`` with the per-part
     dx contributions likewise unsummed, so a stack VJP can thread them
     straight into the next (lower) layer's backward."""
-    (x_parts, w_ih, bias, w_hh_t, lengths, hs_f, hs_b, cs_f, cs_b) = residuals
-    hp_f, cp_f, hp_b, cp_b, shift_in_kernel = _prev_states(
-        hs_f, cs_f, hs_b, cs_b, C
-    )
+    (x_parts, w_ih, bias, w_hh_t, lengths, hs_f, hs_b, cs_a, cs_b) = residuals
+    pack_cs = cs_b is None
+    if pack_cs:
+        if C == 1:
+            hp_f, hp_b, cp_f, shift_in_kernel = hs_f, hs_b, cs_a, True
+        else:
+            zero = jnp.zeros_like(hs_f[:1])
+            hp_f = jnp.concatenate([zero, hs_f[:-1]], axis=0)
+            hp_b = jnp.concatenate([hs_b[1:], zero], axis=0)
+            # packed prev: row p holds the pair for fwd-dir position p, so
+            # ONE forward shift serves both directions (see kernel note)
+            cp_f = jnp.concatenate(
+                [jnp.zeros_like(cs_a[:1]), cs_a[:-1]], axis=0
+            )
+            shift_in_kernel = False
+        cp_b = None
+    else:
+        hp_f, cp_f, hp_b, cp_b, shift_in_kernel = _prev_states(
+            hs_f, cs_a, hs_b, cs_b, C
+        )
     from intrepppid_tpu.ops import lstm_pallas_packed as P
 
     H = w_hh_t.shape[2]
@@ -958,7 +985,7 @@ def _packed_bwd_streams(
         x_parts, lengths, wp, wihp, wihTp, bp,
         hp_f, cp_f, hp_b, cp_b, dyf_streams, dyb_streams, dhn_p, dcn_p,
         Bt=Bt, C=C, G=G, H=H, compute_dtype=compute_dtype,
-        shift_in_kernel=shift_in_kernel,
+        shift_in_kernel=shift_in_kernel, pack_cs=pack_cs,
     )
     dw, dwih, dbias = P.reduce_packed_grads(
         dw_tiles, dwih_tiles, dbias_tiles, B=B, Bt=Bt, G=G, H=H

@@ -54,6 +54,12 @@ from intrepppid_tpu.ops.lstm_pallas_layer import (
     _resident_spec,
 )
 
+# Thread the packed cell-residual stream (one (Tp, B, 2H) cs instead of two
+# half-width cs_f/cs_b) through the layer/stack VJP. Forward-sweep DMA count
+# drops by one (measured 1.18x on the standalone train forward); flag so the
+# stack-level experiment can A/B the composed fwd+bwd.
+PACK_CS = True
+
 # ----------------------------------------------------------- weight packing
 
 
@@ -236,22 +242,24 @@ def pick_fwd_chunk(
 
 def _fwd_kernel_packed(
     *refs, nparts: int, C: int, Bt: int, H: int, compute_dtype,
-    with_states: bool, with_gates: bool = False,
+    with_states: bool, with_gates: bool = False, pack_cs: bool = False,
 ):
     parts_f = refs[:nparts]
     parts_b = refs[nparts : 2 * nparts]
     len_ref, w_ref, wih_ref, bias_ref = refs[2 * nparts : 2 * nparts + 4]
-    rest = refs[2 * nparts + 4 :]
-    gs_ref = None
+    rest = list(refs[2 * nparts + 4 :])
+    hsf_ref = rest.pop(0)
+    hsb_ref = rest.pop(0)
+    csf_ref = csb_ref = csp_ref = gs_ref = None
+    if with_states:
+        if pack_cs:
+            csp_ref = rest.pop(0)
+        else:
+            csf_ref = rest.pop(0)
+            csb_ref = rest.pop(0)
     if with_gates:
-        (hsf_ref, hsb_ref, csf_ref, csb_ref, gs_ref, hn_ref, cn_ref,
-         h_scr, c_scr) = rest
-    elif with_states:
-        (hsf_ref, hsb_ref, csf_ref, csb_ref, hn_ref, cn_ref,
-         h_scr, c_scr) = rest
-    else:
-        (hsf_ref, hsb_ref, hn_ref, cn_ref, h_scr, c_scr) = rest
-        csf_ref = csb_ref = None
+        gs_ref = rest.pop(0)
+    hn_ref, cn_ref, h_scr, c_scr = rest
 
     t = pl.program_id(1)
     nT = pl.num_programs(1)
@@ -303,7 +311,11 @@ def _fwd_kernel_packed(
         c_scr[...] = m * c_new + (1.0 - m) * c
         hsf_ref[s] = h_scr[:, :H].astype(hsf_ref.dtype)
         hsb_ref[sb] = h_scr[:, H:].astype(hsb_ref.dtype)
-        if csf_ref is not None:
+        if csp_ref is not None:
+            # one full-width write: packed row at fwd-dir time index pos_f
+            # pairs (c_f @ pos_f, c_b @ Tp-1-pos_f) — c_scr's exact layout
+            csp_ref[s] = c_scr[...].astype(csp_ref.dtype)
+        elif csf_ref is not None:
             csf_ref[s] = c_scr[:, :H].astype(csf_ref.dtype)
             csb_ref[sb] = c_scr[:, H:].astype(csb_ref.dtype)
         if gs_ref is not None:
@@ -339,13 +351,18 @@ def _w_spec_packed(B, Bt, G, H):
 
 def _fwd_pallas_packed(x_parts, lengths, w_packed, wih_packed, bias_packed,
                        *, Bt: int, C: int, G: int, H: int, compute_dtype,
-                       with_states: bool, with_gates: bool = False):
+                       with_states: bool, with_gates: bool = False,
+                       pack_cs: bool = False):
     """Same contract as ``_bwd_pallas``'s sibling ``_fwd_pallas`` except
     ``hn``/``cn`` come back packed ``(B, 2H)`` (callers unpack with one
     cheap XLA slice-stack). ``with_gates`` additionally returns the
     activated gate stream ``gs (Tp, B, 8H)`` (packed layout, see kernel
-    note) for a recompute-free backward."""
+    note) for a recompute-free backward. ``pack_cs`` returns the cell
+    residual as ONE packed ``cs (Tp, B, 2H)`` stream (row at fwd-dir time
+    p pairs ``c_f @ p`` with ``c_b @ Tp-1-p``) instead of the two
+    half-width ``cs_f``/``cs_b`` streams."""
     assert not (with_gates and not with_states)
+    assert not (pack_cs and not with_states)
     Tp, B, _ = x_parts[0].shape
     part_dims = [p.shape[-1] for p in x_parts]
     nB, nT = B // Bt, Tp // C
@@ -361,8 +378,14 @@ def _fwd_pallas_packed(x_parts, lengths, w_packed, wih_packed, bias_packed,
     out_specs = [st_out, st_out_m]
     out_shape = [st_shape, st_shape]
     if with_states:
-        out_specs += [st_out, st_out_m]
-        out_shape += [st_shape, st_shape]
+        if pack_cs:
+            out_specs += [pl.BlockSpec((C, Bt, 2 * H), fwd,
+                                       memory_space=pltpu.VMEM)]
+            out_shape += [jax.ShapeDtypeStruct((Tp, B, 2 * H),
+                                               compute_dtype)]
+        else:
+            out_specs += [st_out, st_out_m]
+            out_shape += [st_shape, st_shape]
     if with_gates:
         out_specs += [pl.BlockSpec((C, Bt, 8 * H), fwd,
                                    memory_space=pltpu.VMEM)]
@@ -379,7 +402,7 @@ def _fwd_pallas_packed(x_parts, lengths, w_packed, wih_packed, bias_packed,
     kernel = functools.partial(
         _fwd_kernel_packed, nparts=len(x_parts), C=C, Bt=Bt, H=H,
         compute_dtype=compute_dtype, with_states=with_states,
-        with_gates=with_gates,
+        with_gates=with_gates, pack_cs=pack_cs,
     )
     return pl.pallas_call(
         kernel,
@@ -407,26 +430,38 @@ def _fwd_pallas_packed(x_parts, lengths, w_packed, wih_packed, bias_packed,
 def _bwd_kernel_packed(
     *refs, nparts: int, nyparts: int, C: int, Bt: int, H: int,
     compute_dtype, shift_in_kernel: bool, saved_gates: bool = False,
+    pack_cs: bool = False,
 ):
     parts_f = refs[:nparts]
     parts_b = refs[nparts : 2 * nparts]
+    rest = list(refs[2 * nparts :])
+    len_ref = rest.pop(0)
+    w_ref = rest.pop(0)
     if saved_gates:
         # no wih/bias operands: the forward's activated gates arrive as a
-        # stream instead of being recomputed (v6.3) — drops 2 GEMMs and
-        # 4 transcendentals per cell step from the sweep
-        (len_ref, w_ref, wihT_ref, gs_ref,
-         hpf_ref, cpf_ref, hpb_ref, cpb_ref) = refs[
-            2 * nparts : 2 * nparts + 8
-        ]
+        # stream instead of being recomputed — drops 2 GEMMs and 4
+        # transcendentals per cell step from the sweep (measured a wash
+        # at the flagship shape; see tools/experiment_saved_gates.py)
+        wihT_ref = rest.pop(0)
+        gs_ref = rest.pop(0)
         wih_ref = bias_ref = None
-        p = 2 * nparts + 8
     else:
-        (len_ref, w_ref, wih_ref, wihT_ref, bias_ref,
-         hpf_ref, cpf_ref, hpb_ref, cpb_ref) = refs[
-            2 * nparts : 2 * nparts + 9
-        ]
+        wih_ref = rest.pop(0)
+        wihT_ref = rest.pop(0)
+        bias_ref = rest.pop(0)
         gs_ref = None
-        p = 2 * nparts + 9
+    hpf_ref = rest.pop(0)
+    if pack_cs:
+        hpb_ref = rest.pop(0)
+        cpp_ref = rest.pop(0)
+        cpf_ref = cpb_ref = None
+    else:
+        cpf_ref = rest.pop(0)
+        hpb_ref = rest.pop(0)
+        cpb_ref = rest.pop(0)
+        cpp_ref = None
+    refs = tuple(rest)
+    p = 0
     # dy arrives as nyparts contribution streams per direction (the stack
     # VJP threads the previous layer's dxf/dxb pairs straight in; the sum
     # happens in-register below, in the sweep's shadow — the XLA adds it
@@ -466,9 +501,15 @@ def _bwd_kernel_packed(
         h_prev = jnp.concatenate(
             [hpf_ref[s], hpb_ref[i]], axis=-1
         ).astype(jnp.float32)
-        c_prev = jnp.concatenate(
-            [cpf_ref[s], cpb_ref[i]], axis=-1
-        ).astype(jnp.float32)
+        if cpp_ref is not None:
+            # packed prev pair: row pos_f-1 = (c_f @ pos_f-1, c_b @
+            # Tp-1-(pos_f-1) = pos_b+1) — both directions' previous cell
+            # state in one full-width read, same prev_f map/shift
+            c_prev = cpp_ref[s].astype(jnp.float32)
+        else:
+            c_prev = jnp.concatenate(
+                [cpf_ref[s], cpb_ref[i]], axis=-1
+            ).astype(jnp.float32)
         if shift_in_kernel:
             # float mask, not bool: concatenating (Bt, H) i1 vectors trips
             # a Mosaic "Invalid vector register cast" (i1->i32 vreg
@@ -589,7 +630,7 @@ def _bwd_pallas_packed(
     x_parts, lengths, w_packed, wih_packed, wihT_packed, bias_packed,
     hp_f, cp_f, hp_b, cp_b, dy_f, dy_b, dhn_p, dcn_p,
     *, Bt: int, C: int, G: int, H: int, compute_dtype,
-    shift_in_kernel: bool = False, gs=None,
+    shift_in_kernel: bool = False, gs=None, pack_cs: bool = False,
 ):
     """Packed analogue of v5's ``_bwd_pallas``. ``dhn_p``/``dcn_p`` are
     ``(B, 2H)``; returns ``dxf, dxb`` per part plus the PACKED gradient
@@ -604,7 +645,12 @@ def _bwd_pallas_packed(
     ``gs`` (optional): the forward's activated-gate stream ``(Tp, B, 8H)``
     (from ``_fwd_pallas_packed(with_gates=True)``). When given, the sweep
     reads gates instead of recomputing them and ``wih_packed`` /
-    ``bias_packed`` are unused (pass None)."""
+    ``bias_packed`` are unused (pass None).
+
+    ``pack_cs``: ``cp_f`` is the PACKED cell stream ``(Tp, B, 2H)`` from
+    ``_fwd_pallas_packed(pack_cs=True)`` (``cp_b`` must be None) — one
+    full-width stream under the same prev_f map/shift replaces the two
+    half-width ``cp_f``/``cp_b`` streams and their in-kernel concat."""
     if not isinstance(dy_f, (tuple, list)):
         dy_f, dy_b = (dy_f,), (dy_b,)
     dy_f, dy_b = tuple(dy_f), tuple(dy_b)
@@ -627,10 +673,13 @@ def _bwd_pallas_packed(
     else:
         prev_f, prev_b = mir, fwd
 
+    if pack_cs:
+        assert cp_b is None
     kernel = functools.partial(
         _bwd_kernel_packed, nparts=len(x_parts), nyparts=nyparts, C=C,
         Bt=Bt, H=H, compute_dtype=compute_dtype,
         shift_in_kernel=shift_in_kernel, saved_gates=gs is not None,
+        pack_cs=pack_cs,
     )
     dx_shape = [
         jax.ShapeDtypeStruct((Tp, B, E), compute_dtype) for E in part_dims
@@ -662,12 +711,27 @@ def _bwd_pallas_packed(
                 _w_spec_packed(B, Bt, G, H),
             ]
             + weight_ops
-            + [
-                pl.BlockSpec((C, Bt, H), prev_f, memory_space=pltpu.VMEM),
-                pl.BlockSpec((C, Bt, H), prev_f, memory_space=pltpu.VMEM),
-                pl.BlockSpec((C, Bt, H), prev_b, memory_space=pltpu.VMEM),
-                pl.BlockSpec((C, Bt, H), prev_b, memory_space=pltpu.VMEM),
-            ]
+            + (
+                [
+                    pl.BlockSpec((C, Bt, H), prev_f,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((C, Bt, H), prev_b,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((C, Bt, 2 * H), prev_f,
+                                 memory_space=pltpu.VMEM),
+                ]
+                if pack_cs
+                else [
+                    pl.BlockSpec((C, Bt, H), prev_f,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((C, Bt, H), prev_f,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((C, Bt, H), prev_b,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((C, Bt, H), prev_b,
+                                 memory_space=pltpu.VMEM),
+                ]
+            )
             + [
                 pl.BlockSpec((C, Bt, H), mir, memory_space=pltpu.VMEM)
                 for _ in range(nyparts)
@@ -720,7 +784,8 @@ def _bwd_pallas_packed(
         ],
         interpret=_interpret(),
     )(*x_parts, *x_parts, lengths, w_packed, *weight_args,
-      hp_f, cp_f, hp_b, cp_b, *dy_f, *dy_b, dhn_p, dcn_p)
+      *((hp_f, hp_b, cp_f) if pack_cs else (hp_f, cp_f, hp_b, cp_b)),
+      *dy_f, *dy_b, dhn_p, dcn_p)
 
     nP = len(x_parts)
     dxf, dxb = out[:nP], out[nP : 2 * nP]
