@@ -874,7 +874,8 @@ def pallas_bidir_layer(
 
 
 def _layer_fwd(
-    x_parts, w_ih, bias, w_hh_t, lengths, G, compute_dtype, Bt, C, fused=True
+    x_parts, w_ih, bias, w_hh_t, lengths, G, compute_dtype, Bt, C,
+    fused=True, x_packed=False, pack_y=False,
 ):
     wih_t, _, bias_f = _wih_operands(w_ih, bias, compute_dtype)
     H = w_hh_t.shape[2]
@@ -891,15 +892,24 @@ def _layer_fwd(
         )
         if P.PACK_CS:
             # one full-width cell-residual stream instead of two
-            # half-width ones (cs_b slot carries None to mark the mode)
-            hs_f, hs_b, cs_p, hn2, cn2 = P._fwd_pallas_packed(
+            # half-width ones (cs_b slot carries None to mark the mode);
+            # pack_y (v7 inner stack layers) additionally emits the layer
+            # output as one pair-packed ys (hs_b slot carries None)
+            outs = P._fwd_pallas_packed(
                 tuple(x_parts), lengths, wp, wihp, bp,
                 Bt=Bt, C=(Cf if C == 1 else C), G=G, H=H,
                 compute_dtype=compute_dtype,
                 with_states=True, pack_cs=True,
+                x_packed=x_packed, pack_y=pack_y,
             )
+            if pack_y:
+                ys, cs_p, hn2, cn2 = outs
+                hs_f, hs_b = ys, None
+            else:
+                hs_f, hs_b, cs_p, hn2, cn2 = outs
             cs_a, cs_b = cs_p, None
         else:
+            assert not (x_packed or pack_y)
             hs_f, hs_b, cs_a, cs_b, hn2, cn2 = P._fwd_pallas_packed(
                 tuple(x_parts), lengths, wp, wihp, bp,
                 Bt=Bt, C=(Cf if C == 1 else C), G=G, H=H,
@@ -944,16 +954,36 @@ def _prev_states(hs_f, cs_f, hs_b, cs_b, C):
 
 def _packed_bwd_streams(
     residuals, dyf_streams, dyb_streams, dhn, dcn, *, G, compute_dtype,
-    Bt, C,
+    Bt, C, x_packed=False, dy_packed=False,
 ):
     """Packed (v6) layer backward taking dy as tuples of UNSUMMED
     contribution streams per direction (summed in-register inside the
     sweep). Returns ``(dxf, dxb, dw_ih, dbias, dw)`` with the per-part
     dx contributions likewise unsummed, so a stack VJP can thread them
-    straight into the next (lower) layer's backward."""
+    straight into the next (lower) layer's backward.
+
+    v7 boundary modes: a ``pack_y`` layer's residuals carry the packed
+    ``ys`` in the hs_f slot (hs_b None) — consumed as the packed hp;
+    ``dy_packed`` takes ``dyf_streams`` as pair-packed cotangent streams
+    (``dyb_streams`` ignored); ``x_packed`` emits the dx cotangent as two
+    pair-packed streams ``((dxA,), (dxB,))``."""
     (x_parts, w_ih, bias, w_hh_t, lengths, hs_f, hs_b, cs_a, cs_b) = residuals
     pack_cs = cs_b is None
-    if pack_cs:
+    hp_packed = hs_b is None
+    if hp_packed:
+        assert pack_cs
+        if C == 1:
+            hp_f, cp_f, shift_in_kernel = hs_f, cs_a, True
+        else:
+            hp_f = jnp.concatenate(
+                [jnp.zeros_like(hs_f[:1]), hs_f[:-1]], axis=0
+            )
+            cp_f = jnp.concatenate(
+                [jnp.zeros_like(cs_a[:1]), cs_a[:-1]], axis=0
+            )
+            shift_in_kernel = False
+        hp_b = cp_b = None
+    elif pack_cs:
         if C == 1:
             hp_f, hp_b, cp_f, shift_in_kernel = hs_f, hs_b, cs_a, True
         else:
@@ -986,6 +1016,7 @@ def _packed_bwd_streams(
         hp_f, cp_f, hp_b, cp_b, dyf_streams, dyb_streams, dhn_p, dcn_p,
         Bt=Bt, C=C, G=G, H=H, compute_dtype=compute_dtype,
         shift_in_kernel=shift_in_kernel, pack_cs=pack_cs,
+        x_packed=x_packed, hp_packed=hp_packed, dy_packed=dy_packed,
     )
     dw, dwih, dbias = P.reduce_packed_grads(
         dw_tiles, dwih_tiles, dbias_tiles, B=B, Bt=Bt, G=G, H=H
@@ -1113,31 +1144,81 @@ def pallas_bilstm_stack(
     :returns: ``(hs_f_top, hs_b_top, hns, cns)`` with ``hns``/``cns``
         tuples of per-layer ``(2, B, H)`` final states.
     """
+    v7 = _pack_boundary_active(fused, len(layer_weights))
+    L = len(layer_weights)
     parts = tuple(x_parts)
     hns, cns = [], []
-    for (w_ih, bias, w_hh_t), G in zip(layer_weights, Gs):
-        hs_f, hs_b, hn, cn = pallas_bidir_layer(
-            parts, w_ih, bias, w_hh_t, lengths, G, compute_dtype, Bt, C,
-            fused,
-        )
-        parts = (hs_f, hs_b)
+    for l, ((w_ih, bias, w_hh_t), G) in enumerate(zip(layer_weights, Gs)):
+        if v7:
+            hs_f, hs_b, hn, cn = _eval_packed_layer(
+                parts, w_ih, bias, w_hh_t, lengths, G, compute_dtype, Bt,
+                C, x_packed=l > 0, pack_y=l < L - 1,
+            )
+            parts = (hs_f,) if l < L - 1 else (hs_f, hs_b)
+        else:
+            hs_f, hs_b, hn, cn = pallas_bidir_layer(
+                parts, w_ih, bias, w_hh_t, lengths, G, compute_dtype, Bt,
+                C, fused,
+            )
+            parts = (hs_f, hs_b)
         hns.append(hn)
         cns.append(cn)
     return parts[0], parts[1], tuple(hns), tuple(cns)
 
 
+def _pack_boundary_active(fused, n_layers: int) -> bool:
+    """v7 pair-packed inter-layer boundary eligibility (multi-layer
+    packed stacks with the packed-cs residual enabled)."""
+    if fused != "packed" or n_layers <= 1:
+        return False
+    from intrepppid_tpu.ops import lstm_pallas_packed as P
+
+    return P.PACK_BOUNDARY and P.PACK_CS
+
+
+def _eval_packed_layer(
+    x_parts, w_ih, bias, w_hh_t, lengths, G, compute_dtype, Bt, C,
+    x_packed, pack_y,
+):
+    """Eval/primal forward of one packed layer with the v7 boundary
+    modes (no residual streams). Returns ``(ys, None, hn, cn)`` for
+    ``pack_y`` layers, ``(hs_f, hs_b, hn, cn)`` otherwise."""
+    from intrepppid_tpu.ops import lstm_pallas_packed as P
+
+    wih_t, _, bias_f = _wih_operands(w_ih, bias, compute_dtype)
+    H = w_hh_t.shape[2]
+    wp, wihp, _, bp = P.pack_operands(w_hh_t, wih_t, bias_f, compute_dtype)
+    Cf = P.pick_fwd_chunk(
+        x_parts[0].shape[1], x_parts[0].shape[0], H, G, compute_dtype,
+        sum(p.shape[-1] for p in x_parts), Bt,
+    )
+    outs = P._fwd_pallas_packed(
+        tuple(x_parts), lengths, wp, wihp, bp,
+        Bt=Bt, C=(Cf if C == 1 else C), G=G, H=H,
+        compute_dtype=compute_dtype, with_states=False,
+        x_packed=x_packed, pack_y=pack_y,
+    )
+    if pack_y:
+        ys, hn2, cn2 = outs
+        return ys, None, _unpack_state(hn2, H), _unpack_state(cn2, H)
+    hs_f, hs_b, hn2, cn2 = outs
+    return hs_f, hs_b, _unpack_state(hn2, H), _unpack_state(cn2, H)
+
+
 def _stack_fwd(
     x_parts, layer_weights, lengths, Gs, compute_dtype, Bt, C, fused=True
 ):
+    v7 = _pack_boundary_active(fused, len(layer_weights))
+    L = len(layer_weights)
     parts = tuple(x_parts)
     residuals, hns, cns = [], [], []
-    for (w_ih, bias, w_hh_t), G in zip(layer_weights, Gs):
+    for l, ((w_ih, bias, w_hh_t), G) in enumerate(zip(layer_weights, Gs)):
         (hs_f, hs_b, hn, cn), res = _layer_fwd(
             parts, w_ih, bias, w_hh_t, lengths, G, compute_dtype, Bt, C,
-            fused,
+            fused, x_packed=v7 and l > 0, pack_y=v7 and l < L - 1,
         )
         residuals.append(res)
-        parts = (hs_f, hs_b)
+        parts = (hs_f,) if (v7 and l < L - 1) else (hs_f, hs_b)
         hns.append(hn)
         cns.append(cn)
     return (parts[0], parts[1], tuple(hns), tuple(cns)), tuple(residuals)
@@ -1146,7 +1227,9 @@ def _stack_fwd(
 def _stack_bwd(Gs, compute_dtype, Bt, C, fused, residuals, cots):
     dyf_top, dyb_top, dhns, dcns = cots
     L = len(residuals)
+    v7 = _pack_boundary_active(fused, L)
     dyf_streams, dyb_streams = (dyf_top,), (dyb_top,)
+    dy_packed = False
     d_weights = [None] * L
     dx0 = None
     for l in reversed(range(L)):
@@ -1155,12 +1238,22 @@ def _stack_bwd(Gs, compute_dtype, Bt, C, fused, residuals, cots):
             dxf, dxb, dw_ih, dbias, dw = _packed_bwd_streams(
                 res, dyf_streams, dyb_streams, dhns[l], dcns[l],
                 G=Gs[l], compute_dtype=compute_dtype, Bt=Bt, C=C,
+                x_packed=v7 and l > 0, dy_packed=dy_packed,
             )
             if l > 0:
-                # lower layer's hs_f cotangent = this layer's part-0
-                # contributions from BOTH directions — threaded unsummed
-                dyf_streams = (dxf[0], dxb[0])
-                dyb_streams = (dxf[1], dxb[1])
+                if v7:
+                    # this (x_packed) layer emitted its input cotangent
+                    # as two pair-packed contribution streams — thread
+                    # them straight into the lower layer's packed dy
+                    dyf_streams = (dxf[0], dxb[0])
+                    dyb_streams = None
+                    dy_packed = True
+                else:
+                    # lower layer's hs_f cotangent = this layer's part-0
+                    # contributions from BOTH directions — threaded
+                    # unsummed
+                    dyf_streams = (dxf[0], dxb[0])
+                    dyb_streams = (dxf[1], dxb[1])
             else:
                 x0 = res[0]
                 dx0 = tuple(

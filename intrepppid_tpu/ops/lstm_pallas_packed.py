@@ -60,6 +60,15 @@ from intrepppid_tpu.ops.lstm_pallas_layer import (
 # stack-level experiment can A/B the composed fwd+bwd.
 PACK_CS = True
 
+# v7: pair-pack the inter-layer boundary of a multi-layer stack — inner
+# layers emit ONE (Tp, B, 2H) ys stream (consumed by the upper layer's
+# forward under both maps, by their own backward as the packed hp, and
+# mirrored by pair-packed dx/dy cotangent streams in the stack VJP).
+# Requires PACK_CS. Default OFF: CPU-interpret-validated (bitwise vs the
+# unpacked boundary in tests) but not yet Mosaic-compiled or measured on
+# the TPU — flip after tools/experiment_pack_boundary.py records a win.
+PACK_BOUNDARY = False
+
 # ----------------------------------------------------------- weight packing
 
 
@@ -243,13 +252,29 @@ def pick_fwd_chunk(
 def _fwd_kernel_packed(
     *refs, nparts: int, C: int, Bt: int, H: int, compute_dtype,
     with_states: bool, with_gates: bool = False, pack_cs: bool = False,
+    x_packed: bool = False, pack_y: bool = False,
 ):
-    parts_f = refs[:nparts]
-    parts_b = refs[nparts : 2 * nparts]
-    len_ref, w_ref, wih_ref, bias_ref = refs[2 * nparts : 2 * nparts + 4]
-    rest = list(refs[2 * nparts + 4 :])
-    hsf_ref = rest.pop(0)
-    hsb_ref = rest.pop(0)
+    if x_packed:
+        # layer input is ONE pair-packed (Tp, B, 2H) array (a lower
+        # layer's pack_y output) streamed under both maps: row p pairs
+        # (h_f @ p, h_b @ Tp-1-p), so rows pos_f and pos_b together hold
+        # both directions' inputs at both positions (see chunk_step)
+        xpkf_ref, xpkm_ref = refs[0], refs[1]
+        parts_f = parts_b = None
+        nin = 2
+    else:
+        parts_f = refs[:nparts]
+        parts_b = refs[nparts : 2 * nparts]
+        xpkf_ref = xpkm_ref = None
+        nin = 2 * nparts
+    len_ref, w_ref, wih_ref, bias_ref = refs[nin : nin + 4]
+    rest = list(refs[nin + 4 :])
+    hsf_ref = hsb_ref = ysp_ref = None
+    if pack_y:
+        ysp_ref = rest.pop(0)
+    else:
+        hsf_ref = rest.pop(0)
+        hsb_ref = rest.pop(0)
     csf_ref = csb_ref = csp_ref = gs_ref = None
     if with_states:
         if pack_cs:
@@ -284,10 +309,16 @@ def _fwd_kernel_packed(
             [jnp.broadcast_to(mf, (Bt, H)), jnp.broadcast_to(mb, (Bt, H))],
             axis=1,
         )
-        pf = [p[s] for p in parts_f]
-        pb = [p[sb] for p in parts_b]
-        xf = pf[0] if nparts == 1 else jnp.concatenate(pf, axis=-1)
-        xb = pb[0] if nparts == 1 else jnp.concatenate(pb, axis=-1)
+        if x_packed:
+            rf = xpkf_ref[s]    # row pos_f = (f@pos_f, b@pos_b)
+            rm = xpkm_ref[sb]   # row pos_b = (f@pos_b, b@pos_f)
+            xf = jnp.concatenate([rf[:, :H], rm[:, H:]], axis=-1)
+            xb = jnp.concatenate([rm[:, :H], rf[:, H:]], axis=-1)
+        else:
+            pf = [p[s] for p in parts_f]
+            pb = [p[sb] for p in parts_b]
+            xf = pf[0] if nparts == 1 else jnp.concatenate(pf, axis=-1)
+            xb = pb[0] if nparts == 1 else jnp.concatenate(pb, axis=-1)
         xp = jnp.concatenate([xf, xb], axis=-1).astype(compute_dtype)
         xg = jax.lax.dot_general(
             xp, wih_ref[...], (((1,), (0,)), ((), ())),
@@ -309,8 +340,13 @@ def _fwd_kernel_packed(
         h_new = o * jnp.tanh(c_new)
         h_scr[...] = m * h_new + (1.0 - m) * h
         c_scr[...] = m * c_new + (1.0 - m) * c
-        hsf_ref[s] = h_scr[:, :H].astype(hsf_ref.dtype)
-        hsb_ref[sb] = h_scr[:, H:].astype(hsb_ref.dtype)
+        if ysp_ref is not None:
+            # pair-packed layer output: one full-width write (the upper
+            # layer and this layer's backward both consume the pairing)
+            ysp_ref[s] = h_scr[...].astype(ysp_ref.dtype)
+        else:
+            hsf_ref[s] = h_scr[:, :H].astype(hsf_ref.dtype)
+            hsb_ref[sb] = h_scr[:, H:].astype(hsb_ref.dtype)
         if csp_ref is not None:
             # one full-width write: packed row at fwd-dir time index pos_f
             # pairs (c_f @ pos_f, c_b @ Tp-1-pos_f) — c_scr's exact layout
@@ -352,7 +388,8 @@ def _w_spec_packed(B, Bt, G, H):
 def _fwd_pallas_packed(x_parts, lengths, w_packed, wih_packed, bias_packed,
                        *, Bt: int, C: int, G: int, H: int, compute_dtype,
                        with_states: bool, with_gates: bool = False,
-                       pack_cs: bool = False):
+                       pack_cs: bool = False, x_packed: bool = False,
+                       pack_y: bool = False):
     """Same contract as ``_bwd_pallas``'s sibling ``_fwd_pallas`` except
     ``hn``/``cn`` come back packed ``(B, 2H)`` (callers unpack with one
     cheap XLA slice-stack). ``with_gates`` additionally returns the
@@ -360,9 +397,17 @@ def _fwd_pallas_packed(x_parts, lengths, w_packed, wih_packed, bias_packed,
     note) for a recompute-free backward. ``pack_cs`` returns the cell
     residual as ONE packed ``cs (Tp, B, 2H)`` stream (row at fwd-dir time
     p pairs ``c_f @ p`` with ``c_b @ Tp-1-p``) instead of the two
-    half-width ``cs_f``/``cs_b`` streams."""
+    half-width ``cs_f``/``cs_b`` streams.
+
+    v7 boundary modes: ``x_packed`` takes ``x_parts`` as ONE pair-packed
+    ``(Tp, B, 2H)`` array (a lower layer's ``pack_y`` output) — streamed
+    under both maps, halving the x stream count; ``pack_y`` emits the
+    layer output as one pair-packed ``ys (Tp, B, 2H)`` instead of
+    ``hs_f``/``hs_b``."""
     assert not (with_gates and not with_states)
     assert not (pack_cs and not with_states)
+    if x_packed:
+        assert len(x_parts) == 1 and x_parts[0].shape[-1] == 2 * H
     Tp, B, _ = x_parts[0].shape
     part_dims = [p.shape[-1] for p in x_parts]
     nB, nT = B // Bt, Tp // C
@@ -375,8 +420,13 @@ def _fwd_pallas_packed(x_parts, lengths, w_packed, wih_packed, bias_packed,
     st_out = pl.BlockSpec((C, Bt, H), fwd, memory_space=pltpu.VMEM)
     st_out_m = pl.BlockSpec((C, Bt, H), mir, memory_space=pltpu.VMEM)
     st_shape = jax.ShapeDtypeStruct((Tp, B, H), compute_dtype)
-    out_specs = [st_out, st_out_m]
-    out_shape = [st_shape, st_shape]
+    if pack_y:
+        out_specs = [pl.BlockSpec((C, Bt, 2 * H), fwd,
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [jax.ShapeDtypeStruct((Tp, B, 2 * H), compute_dtype)]
+    else:
+        out_specs = [st_out, st_out_m]
+        out_shape = [st_shape, st_shape]
     if with_states:
         if pack_cs:
             out_specs += [pl.BlockSpec((C, Bt, 2 * H), fwd,
@@ -402,14 +452,24 @@ def _fwd_pallas_packed(x_parts, lengths, w_packed, wih_packed, bias_packed,
     kernel = functools.partial(
         _fwd_kernel_packed, nparts=len(x_parts), C=C, Bt=Bt, H=H,
         compute_dtype=compute_dtype, with_states=with_states,
-        with_gates=with_gates, pack_cs=pack_cs,
+        with_gates=with_gates, pack_cs=pack_cs, x_packed=x_packed,
+        pack_y=pack_y,
     )
+    if x_packed:
+        x_specs = [
+            pl.BlockSpec((C, Bt, 2 * H), fwd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Bt, 2 * H), mir, memory_space=pltpu.VMEM),
+        ]
+    else:
+        x_specs = (
+            _part_specs(part_dims, C, Bt, fwd)
+            + _part_specs(part_dims, C, Bt, mir)
+        )
     return pl.pallas_call(
         kernel,
         grid=(nB, nT),
         in_specs=(
-            _part_specs(part_dims, C, Bt, fwd)
-            + _part_specs(part_dims, C, Bt, mir)
+            x_specs
             + [
                 pl.BlockSpec((Bt, 1), lmap, memory_space=pltpu.VMEM),
                 _w_spec_packed(B, Bt, G, H),
@@ -430,11 +490,18 @@ def _fwd_pallas_packed(x_parts, lengths, w_packed, wih_packed, bias_packed,
 def _bwd_kernel_packed(
     *refs, nparts: int, nyparts: int, C: int, Bt: int, H: int,
     compute_dtype, shift_in_kernel: bool, saved_gates: bool = False,
-    pack_cs: bool = False,
+    pack_cs: bool = False, x_packed: bool = False,
+    hp_packed: bool = False, dy_packed: bool = False,
 ):
-    parts_f = refs[:nparts]
-    parts_b = refs[nparts : 2 * nparts]
-    rest = list(refs[2 * nparts :])
+    rest = list(refs)
+    if x_packed:
+        xpkf_ref = rest.pop(0)
+        xpkm_ref = rest.pop(0)
+        parts_f = parts_b = None
+    else:
+        parts_f = tuple(rest.pop(0) for _ in range(nparts))
+        parts_b = tuple(rest.pop(0) for _ in range(nparts))
+        xpkf_ref = xpkm_ref = None
     len_ref = rest.pop(0)
     w_ref = rest.pop(0)
     if saved_gates:
@@ -450,32 +517,50 @@ def _bwd_kernel_packed(
         wihT_ref = rest.pop(0)
         bias_ref = rest.pop(0)
         gs_ref = None
-    hpf_ref = rest.pop(0)
+    if hp_packed:
+        hppk_ref = rest.pop(0)
+        hpf_ref = hpb_ref = None
+    else:
+        hpf_ref = rest.pop(0)
+        hppk_ref = None
     if pack_cs:
-        hpb_ref = rest.pop(0)
+        if not hp_packed:
+            hpb_ref = rest.pop(0)
         cpp_ref = rest.pop(0)
         cpf_ref = cpb_ref = None
     else:
+        assert not hp_packed
         cpf_ref = rest.pop(0)
         hpb_ref = rest.pop(0)
         cpb_ref = rest.pop(0)
         cpp_ref = None
-    refs = tuple(rest)
-    p = 0
     # dy arrives as nyparts contribution streams per direction (the stack
     # VJP threads the previous layer's dxf/dxb pairs straight in; the sum
     # happens in-register below, in the sweep's shadow — the XLA adds it
-    # replaces were ~1 ms/step at the flagship shape, device-profiled)
-    dyf_refs = refs[p : p + nyparts]
-    dyb_refs = refs[p + nyparts : p + 2 * nyparts]
-    dhn_ref, dcn_ref = refs[p + 2 * nyparts : p + 2 * nyparts + 2]
-    outs = refs[p + 2 * nyparts + 2 :]
-    dxf_refs = outs[:nparts]
-    dxb_refs = outs[nparts : 2 * nparts]
-    (dw_tiles_ref, dwih_tiles_ref, dbias_tiles_ref) = outs[
-        2 * nparts : 2 * nparts + 3
-    ]
-    dh_scr, dc_scr, dw_scr, dwih_scr, dbias_scr = outs[2 * nparts + 3 :]
+    # replaces were ~1 ms/step at the flagship shape, device-profiled).
+    # dy_packed: the upper layer emitted pair-packed cotangent streams —
+    # nyparts full-width refs, all under the mir map, no f/b split.
+    if dy_packed:
+        dyp_refs = tuple(rest.pop(0) for _ in range(nyparts))
+        dyf_refs = dyb_refs = None
+    else:
+        dyf_refs = tuple(rest.pop(0) for _ in range(nyparts))
+        dyb_refs = tuple(rest.pop(0) for _ in range(nyparts))
+        dyp_refs = None
+    dhn_ref = rest.pop(0)
+    dcn_ref = rest.pop(0)
+    if x_packed:
+        dxpA_ref = rest.pop(0)   # d(packed row pos_f), mir map
+        dxpB_ref = rest.pop(0)   # d(packed row pos_b), fwd map
+        dxf_refs = dxb_refs = None
+    else:
+        dxf_refs = tuple(rest.pop(0) for _ in range(nparts))
+        dxb_refs = tuple(rest.pop(0) for _ in range(nparts))
+        dxpA_ref = dxpB_ref = None
+    (dw_tiles_ref, dwih_tiles_ref, dbias_tiles_ref) = (
+        rest.pop(0), rest.pop(0), rest.pop(0)
+    )
+    dh_scr, dc_scr, dw_scr, dwih_scr, dbias_scr = rest
 
     t = pl.program_id(1)
     nT = pl.num_programs(1)
@@ -498,9 +583,14 @@ def _bwd_kernel_packed(
         s = C - 1 - i
         pos_f = (nT - 1 - t) * C + s
         pos_b = t * C + i
-        h_prev = jnp.concatenate(
-            [hpf_ref[s], hpb_ref[i]], axis=-1
-        ).astype(jnp.float32)
+        if hppk_ref is not None:
+            # pair-packed own-output stream: row pos_f-1 holds both
+            # directions' previous hidden state (same pairing as cs)
+            h_prev = hppk_ref[s].astype(jnp.float32)
+        else:
+            h_prev = jnp.concatenate(
+                [hpf_ref[s], hpb_ref[i]], axis=-1
+            ).astype(jnp.float32)
         if cpp_ref is not None:
             # packed prev pair: row pos_f-1 = (c_f @ pos_f-1, c_b @
             # Tp-1-(pos_f-1) = pos_b+1) — both directions' previous cell
@@ -526,10 +616,16 @@ def _bwd_kernel_packed(
             h_prev = h_prev * keep
             c_prev = c_prev * keep
 
-        pf = [p[s] for p in parts_f]
-        pb = [p[i] for p in parts_b]
-        xf = pf[0] if nparts == 1 else jnp.concatenate(pf, axis=-1)
-        xb = pb[0] if nparts == 1 else jnp.concatenate(pb, axis=-1)
+        if x_packed:
+            rf = xpkf_ref[s]    # row pos_f = (f@pos_f, b@pos_b)
+            rm = xpkm_ref[i]    # row pos_b = (f@pos_b, b@pos_f)
+            xf = jnp.concatenate([rf[:, :H], rm[:, H:]], axis=-1)
+            xb = jnp.concatenate([rm[:, :H], rf[:, H:]], axis=-1)
+        else:
+            pf = [p[s] for p in parts_f]
+            pb = [p[i] for p in parts_b]
+            xf = pf[0] if nparts == 1 else jnp.concatenate(pf, axis=-1)
+            xb = pb[0] if nparts == 1 else jnp.concatenate(pb, axis=-1)
         xp = jnp.concatenate([xf, xb], axis=-1).astype(compute_dtype)
         hb = h_prev.astype(compute_dtype).reshape(GPT, Bgr, H2)
         if saved_gates:
@@ -554,12 +650,19 @@ def _bwd_kernel_packed(
             o = jax.nn.sigmoid(gates[:, 3 * H2 :])
         c_new = f * c_prev + ig * gg_
 
-        dyf = dyf_refs[0][s].astype(jnp.float32)
-        dyb = dyb_refs[0][i].astype(jnp.float32)
-        for r in range(1, nyparts):
-            dyf = dyf + dyf_refs[r][s].astype(jnp.float32)
-            dyb = dyb + dyb_refs[r][i].astype(jnp.float32)
-        dy = jnp.concatenate([dyf, dyb], axis=-1)
+        if dy_packed:
+            # each packed cotangent stream's row pos_f is already the
+            # (dy_f @ pos_f, dy_b @ pos_b) pair — no concat
+            dy = dyp_refs[0][s].astype(jnp.float32)
+            for r in range(1, nyparts):
+                dy = dy + dyp_refs[r][s].astype(jnp.float32)
+        else:
+            dyf = dyf_refs[0][s].astype(jnp.float32)
+            dyb = dyb_refs[0][i].astype(jnp.float32)
+            for r in range(1, nyparts):
+                dyf = dyf + dyf_refs[r][s].astype(jnp.float32)
+                dyb = dyb + dyb_refs[r][i].astype(jnp.float32)
+            dy = jnp.concatenate([dyf, dyb], axis=-1)
         dh = dh_scr[...] + dy
         dc = dc_scr[...]
         mf = jnp.where(pos_f < lengths, 1.0, 0.0).astype(jnp.float32)
@@ -584,16 +687,30 @@ def _bwd_kernel_packed(
             dgc, wihT_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        offs = 0
-        for p_idx in range(nparts):
-            E = dxf_refs[p_idx].shape[-1]
-            dxf_refs[p_idx][s] = dx[:, offs : offs + E].astype(
-                dxf_refs[p_idx].dtype
-            )
-            dxb_refs[p_idx][i] = dx[
-                :, E2 // 2 + offs : E2 // 2 + offs + E
-            ].astype(dxb_refs[p_idx].dtype)
-            offs += E
+        if x_packed:
+            # emit the input cotangent pair-packed: this grid step holds
+            # the complete contributions of BOTH packed rows it read —
+            # d(row pos_f) = (dx_xf[:, :H], dx_xb[:, H:]) and
+            # d(row pos_b) = (dx_xb[:, :H], dx_xf[:, H:]). Two full-width
+            # writes replace four half-width ones; the consumer (lower
+            # layer's backward) sums the two streams in-register.
+            dxpA_ref[s] = jnp.concatenate(
+                [dx[:, :H], dx[:, 3 * H :]], axis=-1
+            ).astype(dxpA_ref.dtype)
+            dxpB_ref[i] = jnp.concatenate(
+                [dx[:, 2 * H : 3 * H], dx[:, H : 2 * H]], axis=-1
+            ).astype(dxpB_ref.dtype)
+        else:
+            offs = 0
+            for p_idx in range(nparts):
+                E = dxf_refs[p_idx].shape[-1]
+                dxf_refs[p_idx][s] = dx[:, offs : offs + E].astype(
+                    dxf_refs[p_idx].dtype
+                )
+                dxb_refs[p_idx][i] = dx[
+                    :, E2 // 2 + offs : E2 // 2 + offs + E
+                ].astype(dxb_refs[p_idx].dtype)
+                offs += E
 
         dwih_scr[...] += jax.lax.dot_general(
             xp, dgc, (((0,), (0,)), ((), ())),
@@ -631,6 +748,8 @@ def _bwd_pallas_packed(
     hp_f, cp_f, hp_b, cp_b, dy_f, dy_b, dhn_p, dcn_p,
     *, Bt: int, C: int, G: int, H: int, compute_dtype,
     shift_in_kernel: bool = False, gs=None, pack_cs: bool = False,
+    x_packed: bool = False, hp_packed: bool = False,
+    dy_packed: bool = False,
 ):
     """Packed analogue of v5's ``_bwd_pallas``. ``dhn_p``/``dcn_p`` are
     ``(B, 2H)``; returns ``dxf, dxb`` per part plus the PACKED gradient
@@ -650,15 +769,32 @@ def _bwd_pallas_packed(
     ``pack_cs``: ``cp_f`` is the PACKED cell stream ``(Tp, B, 2H)`` from
     ``_fwd_pallas_packed(pack_cs=True)`` (``cp_b`` must be None) — one
     full-width stream under the same prev_f map/shift replaces the two
-    half-width ``cp_f``/``cp_b`` streams and their in-kernel concat."""
-    if not isinstance(dy_f, (tuple, list)):
-        dy_f, dy_b = (dy_f,), (dy_b,)
-    dy_f, dy_b = tuple(dy_f), tuple(dy_b)
-    assert len(dy_f) == len(dy_b)
-    nyparts = len(dy_f)
+    half-width ``cp_f``/``cp_b`` streams and their in-kernel concat.
+
+    v7 boundary modes: ``x_packed`` — ``x_parts`` is one pair-packed
+    ``(Tp, B, 2H)`` array and the input cotangent comes back as TWO
+    pair-packed contribution streams ``((dxpA,), (dxpB,))`` (sum = full
+    d(x_packed); thread both to the lower layer's ``dy_packed``
+    backward). ``hp_packed`` — ``hp_f`` is this layer's own pair-packed
+    ``pack_y`` output (``hp_b`` None). ``dy_packed`` — ``dy_f`` is a
+    tuple of pair-packed cotangent streams (``dy_b`` ignored)."""
+    if dy_packed:
+        if not isinstance(dy_f, (tuple, list)):
+            dy_f = (dy_f,)
+        dy_f = tuple(dy_f)
+        dy_b = ()
+        nyparts = len(dy_f)
+    else:
+        if not isinstance(dy_f, (tuple, list)):
+            dy_f, dy_b = (dy_f,), (dy_b,)
+        dy_f, dy_b = tuple(dy_f), tuple(dy_b)
+        assert len(dy_f) == len(dy_b)
+        nyparts = len(dy_f)
     Tp, B, _ = x_parts[0].shape
     E2 = wihT_packed.shape[1]
     part_dims = [p.shape[-1] for p in x_parts]
+    if x_packed:
+        assert len(x_parts) == 1 and part_dims[0] == 2 * H
     nB, nT = B // Bt, Tp // C
     Bg = B // G
     GPT = Bt // Bg if Bt > Bg else 1
@@ -675,11 +811,14 @@ def _bwd_pallas_packed(
 
     if pack_cs:
         assert cp_b is None
+    if hp_packed:
+        assert pack_cs and hp_b is None
     kernel = functools.partial(
         _bwd_kernel_packed, nparts=len(x_parts), nyparts=nyparts, C=C,
         Bt=Bt, H=H, compute_dtype=compute_dtype,
         shift_in_kernel=shift_in_kernel, saved_gates=gs is not None,
-        pack_cs=pack_cs,
+        pack_cs=pack_cs, x_packed=x_packed, hp_packed=hp_packed,
+        dy_packed=dy_packed,
     )
     dx_shape = [
         jax.ShapeDtypeStruct((Tp, B, E), compute_dtype) for E in part_dims
@@ -700,54 +839,68 @@ def _bwd_pallas_packed(
             pl.BlockSpec((C, Bt, 8 * H), mir, memory_space=pltpu.VMEM),
         ]
         weight_args = [wihT_packed, gs]
+    pk2 = lambda m: pl.BlockSpec((C, Bt, 2 * H), m, memory_space=pltpu.VMEM)
+    half = lambda m: pl.BlockSpec((C, Bt, H), m, memory_space=pltpu.VMEM)
+
+    if x_packed:
+        x_specs = [pk2(mir), pk2(fwd)]
+    else:
+        x_specs = (
+            _part_specs(part_dims, C, Bt, mir)
+            + _part_specs(part_dims, C, Bt, fwd)
+        )
+
+    if hp_packed:
+        state_specs = [pk2(prev_f), pk2(prev_f)]
+        state_args = (hp_f, cp_f)
+    elif pack_cs:
+        state_specs = [half(prev_f), half(prev_b), pk2(prev_f)]
+        state_args = (hp_f, hp_b, cp_f)
+    else:
+        state_specs = [half(prev_f), half(prev_f), half(prev_b),
+                       half(prev_b)]
+        state_args = (hp_f, cp_f, hp_b, cp_b)
+
+    if dy_packed:
+        dy_specs = [pk2(mir) for _ in range(nyparts)]
+    else:
+        dy_specs = (
+            [half(mir) for _ in range(nyparts)]
+            + [half(fwd) for _ in range(nyparts)]
+        )
+
+    if x_packed:
+        dx_specs = [pk2(mir), pk2(fwd)]
+        dx_shapes = [
+            jax.ShapeDtypeStruct((Tp, B, 2 * H), compute_dtype)
+            for _ in range(2)
+        ]
+    else:
+        dx_specs = (
+            _part_specs(part_dims, C, Bt, mir)
+            + _part_specs(part_dims, C, Bt, fwd)
+        )
+        dx_shapes = dx_shape + dx_shape
+
     out = pl.pallas_call(
         kernel,
         grid=(nB, nT),
         in_specs=(
-            _part_specs(part_dims, C, Bt, mir)
-            + _part_specs(part_dims, C, Bt, fwd)
+            x_specs
             + [
                 pl.BlockSpec((Bt, 1), lmap, memory_space=pltpu.VMEM),
                 _w_spec_packed(B, Bt, G, H),
             ]
             + weight_ops
-            + (
-                [
-                    pl.BlockSpec((C, Bt, H), prev_f,
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((C, Bt, H), prev_b,
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((C, Bt, 2 * H), prev_f,
-                                 memory_space=pltpu.VMEM),
-                ]
-                if pack_cs
-                else [
-                    pl.BlockSpec((C, Bt, H), prev_f,
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((C, Bt, H), prev_f,
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((C, Bt, H), prev_b,
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((C, Bt, H), prev_b,
-                                 memory_space=pltpu.VMEM),
-                ]
-            )
-            + [
-                pl.BlockSpec((C, Bt, H), mir, memory_space=pltpu.VMEM)
-                for _ in range(nyparts)
-            ]
-            + [
-                pl.BlockSpec((C, Bt, H), fwd, memory_space=pltpu.VMEM)
-                for _ in range(nyparts)
-            ]
+            + state_specs
+            + dy_specs
             + [
                 pl.BlockSpec((Bt, 2 * H), onb, memory_space=pltpu.VMEM),
                 pl.BlockSpec((Bt, 2 * H), onb, memory_space=pltpu.VMEM),
             ]
         ),
         out_specs=(
-            _part_specs(part_dims, C, Bt, mir)
-            + _part_specs(part_dims, C, Bt, fwd)
+            dx_specs
             + [
                 pl.BlockSpec(
                     (1, GPT, 2 * H, 8 * H),
@@ -767,8 +920,7 @@ def _bwd_pallas_packed(
             ]
         ),
         out_shape=(
-            dx_shape
-            + dx_shape
+            dx_shapes
             + [
                 jax.ShapeDtypeStruct((nB, GPT, 2 * H, 8 * H), jnp.float32),
                 jax.ShapeDtypeStruct((nB, E2, 8 * H), jnp.float32),
@@ -784,10 +936,9 @@ def _bwd_pallas_packed(
         ],
         interpret=_interpret(),
     )(*x_parts, *x_parts, lengths, w_packed, *weight_args,
-      *((hp_f, hp_b, cp_f) if pack_cs else (hp_f, cp_f, hp_b, cp_b)),
-      *dy_f, *dy_b, dhn_p, dcn_p)
+      *state_args, *dy_f, *dy_b, dhn_p, dcn_p)
 
-    nP = len(x_parts)
+    nP = 1 if x_packed else len(x_parts)
     dxf, dxb = out[:nP], out[nP : 2 * nP]
     dw_tiles, dwih_tiles, dbias_tiles = out[2 * nP : 2 * nP + 3]
     return dxf, dxb, dw_tiles, dwih_tiles, dbias_tiles

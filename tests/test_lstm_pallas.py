@@ -515,6 +515,62 @@ def test_stack_vjp_threads_unsummed_dy_streams(rng, monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
 
+def test_pack_boundary_stack_matches_scan(rng, monkeypatch):
+    """v7 pair-packed inter-layer boundary (``PACK_BOUNDARY`` forced on):
+    inner layers emit one pair-packed ys stream; the upper layer consumes
+    it packed, its backward emits pair-packed dx streams, and the lower
+    backward sums them in-register. Values, every gradient, AND the
+    no-grad eval forward must match the scan path — at both the C=1
+    shift-in-kernel backward and the C=2 materialized-shift backward
+    (which shifts the packed hp/cs once for both directions)."""
+    import intrepppid_tpu.ops.lstm_pallas_layer as LPL
+    from intrepppid_tpu.ops import lstm_pallas_packed as P
+    from intrepppid_tpu.ops.lstm import _bilstm_pallas
+
+    monkeypatch.setattr(P, "PACK_BOUNDARY", True)
+    B, T, H = 8, 12, 8
+    layers = init_lstm_params(jax.random.PRNGKey(33), H, H, 2)
+    x = jnp.asarray(rng.normal(size=(B, T, H)).astype(np.float32))
+    ml = jnp.full((B,), T - 3, jnp.int32)
+
+    def loss_pallas(layers, x):
+        y, hn, cn = _bilstm_pallas(layers, x, ml, jnp.float32)
+        return jnp.sum(y**2) + jnp.sum(hn**2) + jnp.sum(cn**2)
+
+    def loss_scan(layers, x):
+        y, hn, cn = bilstm(layers, x, ml, backend="scan")
+        return jnp.sum(y**2) + jnp.sum(hn**2) + jnp.sum(cn**2)
+
+    vs, gs = jax.value_and_grad(loss_scan, argnums=(0, 1))(layers, x)
+    y_s, hn_s, cn_s = bilstm(layers, x, ml, backend="scan")
+    for C in (1, 2):
+        monkeypatch.setattr(
+            LPL, "pick_plan",
+            lambda B, T, H, G, cd=jnp.float32, E=0, c=C, **kw:
+                (B, c, T, "packed"),
+        )
+        vp, gp = jax.value_and_grad(loss_pallas, argnums=(0, 1))(layers, x)
+        np.testing.assert_allclose(float(vp), float(vs), rtol=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gs)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-5
+            )
+        # no-grad eval path (_eval_packed_layer under the custom-vjp
+        # primal) — the pack_y/x_packed boundary without residuals
+        y_p, hn_p, cn_p = _bilstm_pallas(layers, x, ml, jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(y_p), np.asarray(y_s), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(hn_p), np.asarray(hn_s), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(cn_p), np.asarray(cn_s), atol=2e-5
+        )
+
+
 def test_packed_fwd_chunk_parity(rng):
     """The packed forward at C in {1, 2, 4} is exactly identical under
     ragged lengths (the production path chunks the forward harder than
