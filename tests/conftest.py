@@ -7,6 +7,11 @@ without TPU hardware. Must run before jax is imported anywhere.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The whole suite is CPU-only: drop the axon sitecustomize trigger so the
+# many subprocess-spawning tests can't hang at child-interpreter import
+# when the TPU tunnel is down (sitecustomize register() dials the pool
+# with no timeout; observed as a spurious 600 s graft-entry timeout).
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -20,6 +20,10 @@ def test_dryrun_multichip_self_bootstraps_from_one_device():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    # CPU-only subprocess: drop the axon sitecustomize trigger so a down
+    # TPU tunnel can't hang the interpreter at import (register() dials
+    # the pool with no timeout — observed as a 600 s spurious timeout).
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     code = (
         "import jax; assert len(jax.devices()) == 1, jax.devices(); "
         "import __graft_entry__ as g; g.dryrun_multichip(8)"
