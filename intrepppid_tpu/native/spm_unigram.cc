@@ -106,17 +106,25 @@ struct TrieNode {
 // in the forward pass's insertion order (starts ascending). Everything the
 // backward-sampling pass reads — the forward filter itself is RNG-free and
 // depends only on (text, alpha), so one build serves every epoch's fresh
-// sampling draws. Masses are stored in each end position's power-of-two
-// scale exactly as the forward pass cached them (backward takes ratios
-// within one end position only, so no scales are needed).
+// sampling draws. The per-node categorical over incoming edges is stored
+// as a Walker/Vose alias table built from the edge masses in each end
+// position's power-of-two scale exactly as the forward pass cached them
+// (the distribution takes ratios within one end position only, so no
+// scales are needed); the raw masses themselves are dropped after the
+// alias build.
 struct CachedLattice {
   std::vector<int32_t> off;    // n+2 entries
   std::vector<int32_t> start;  // per edge
   std::vector<int32_t> pid;
   std::vector<double> w;
+  // per-edge Walker/Vose alias table (built once with the CSR): backward
+  // sampling picks each node's edge with one uniform + two loads
+  std::vector<float> aprob;
+  std::vector<int32_t> aidx;
   size_t bytes() const {
     return off.capacity() * 4 + start.capacity() * 4 + pid.capacity() * 4 +
-           w.capacity() * 8 + sizeof(*this);
+           w.capacity() * 8 + aprob.capacity() * 4 + aidx.capacity() * 4 +
+           sizeof(*this);
   }
 };
 
@@ -294,9 +302,11 @@ struct Workspace {
   std::vector<double> best;
   std::vector<int32_t> back_start, back_piece;
   std::vector<int32_t> tmp;
-  // CSR scratch for the cache-miss / cache-disabled sampling path
+  // CSR + alias scratch for the cache-disabled sampling path
   std::vector<int32_t> c_off, c_start, c_pid;
   std::vector<double> c_w;
+  std::vector<float> c_aprob;
+  std::vector<int32_t> c_aidx;
 };
 // NOTE: the per-thread workspace is passed explicitly, NOT read through a
 // C++ `thread_local` inside the hot functions: this library is dlopen'd
@@ -517,40 +527,78 @@ void LatticeToCSR(const Workspace& ws, int n, std::vector<int32_t>& off,
   }
 }
 
-// Backward-sampling half of FFBS over a CSR lattice (fresh or cached).
+// Per-end-position Walker/Vose alias tables over the CSR edge masses:
+// backward sampling then draws each piece with ONE uniform and TWO loads
+// (O(1) per node) instead of a two-pass O(deg) total+CDF scan — the scan
+// made a cache-hit sampled encode SLOWER than a full Viterbi (29 vs
+// 21 ns/char on the bench corpus). Construction normalizes with the same
+// edge masses the scan summed (NOT the forward w[pos], which may have
+// been rescaled after the edges were cached), so the categorical
+// distribution per node is identical in real arithmetic; float rounding
+// differs at ~1e-7, far inside the sampling tests' tolerances. A
+// zero-mass node marks alias -1 so the sampler reports the same failure
+// the scan path did. Built once per cached lattice (and per call on the
+// cache-off path, where it is O(edges) next to the forward filter).
+void BuildAlias(const int32_t* off, const double* w, int n,
+                std::vector<float>& aprob, std::vector<int32_t>& aidx) {
+  int ne = off[n + 1];
+  aprob.assign(ne, 1.0f);
+  aidx.assign(ne, -1);
+  std::vector<int32_t> small, large;  // reused across nodes; deg is tiny
+  std::vector<double> p;
+  for (int e = 1; e <= n; ++e) {
+    int lo = off[e], K = off[e + 1] - lo;
+    if (K == 0) continue;
+    double total = 0.0;
+    for (int k = 0; k < K; ++k) total += w[lo + k];
+    if (!(total > 0.0)) {
+      for (int k = 0; k < K; ++k) aprob[lo + k] = 0.0f;
+      continue;  // aidx stays -1: unsampleable node
+    }
+    p.assign(K, 0.0);
+    small.clear();
+    large.clear();
+    for (int k = 0; k < K; ++k) {
+      p[k] = w[lo + k] * K / total;
+      (p[k] < 1.0 ? small : large).push_back(k);
+    }
+    while (!small.empty() && !large.empty()) {
+      int s = small.back();
+      small.pop_back();
+      int l = large.back();
+      large.pop_back();
+      aprob[lo + s] = static_cast<float>(p[s]);
+      aidx[lo + s] = lo + l;
+      p[l] = (p[l] + p[s]) - 1.0;
+      (p[l] < 1.0 ? small : large).push_back(l);
+    }
+    // leftovers are exactly 1 up to rounding: always keep their own column
+    for (auto& rest : {&small, &large})
+      for (int k : *rest) {
+        aprob[lo + k] = 1.0f;
+        aidx[lo + k] = lo + k;
+      }
+  }
+}
+
+// Backward-sampling half of FFBS over a CSR lattice (fresh or cached),
+// choosing each node's incoming edge through its alias table.
 int SampleFromCSR(const Model& m, const int32_t* off, const int32_t* es,
-                  const int32_t* ep, const double* ew, const char* text,
-                  int n, std::mt19937_64& rng, int* out, int max_out,
-                  std::vector<int32_t>& tmp) {
+                  const int32_t* ep, const float* ap, const int32_t* ai,
+                  const char* text, int n, std::mt19937_64& rng, int* out,
+                  int max_out, std::vector<int32_t>& tmp) {
   tmp.clear();  // sampled piece ids, reversed
   int pos = n;
   std::uniform_real_distribution<float> uni(0.0f, 1.0f);
   while (pos > 0) {
-    int lo = off[pos], hi = off[pos + 1];
-    // total mass from the cached edge masses (NOT the forward w[pos],
-    // which may have been rescaled after the edges were cached)
-    double total = 0.0;
-    for (int k = lo; k < hi; ++k) total += ew[k];
-    double target = static_cast<double>(uni(rng)) * total;
-    double cum = 0.0;
-    int chosen = -1;
-    for (int k = lo; k < hi; ++k) {
-      cum += ew[k];
-      if (target <= cum && ew[k] > 0.0) {
-        chosen = k;
-        break;
-      }
-    }
-    if (chosen < 0) {
-      // numerical slack: take the last viable edge
-      for (int k = hi - 1; k >= lo; --k) {
-        if (ew[k] > 0.0) {
-          chosen = k;
-          break;
-        }
-      }
-      if (chosen < 0) return -1;
-    }
+    int lo = off[pos], K = off[pos + 1] - lo;
+    if (K <= 0) return -1;
+    float scaled = uni(rng) * K;
+    int col = static_cast<int>(scaled);
+    if (col >= K) col = K - 1;  // uni() can round to 1.0f
+    int j = lo + col;
+    int chosen = (scaled - col) < ap[j] ? j : ai[j];
+    if (chosen < 0) return -1;  // zero-mass node (unsampleable)
     int pid = ep[chosen];
     int start = es[chosen];
     // byte fallback at emission (see ViterbiEncode); tmp is reversed, so
@@ -592,17 +640,24 @@ int SampleEncode(Model& m, Workspace& ws, const char* text, int n,
         const CachedLattice& lat = it->second;
         m.lat_hits.fetch_add(1, std::memory_order_relaxed);
         return SampleFromCSR(m, lat.off.data(), lat.start.data(),
-                             lat.pid.data(), lat.w.data(), text, n, rng,
-                             out, max_out, ws.tmp);
+                             lat.pid.data(), lat.aprob.data(),
+                             lat.aidx.data(), text, n, rng, out, max_out,
+                             ws.tmp);
       }
     }
     m.lat_misses.fetch_add(1, std::memory_order_relaxed);
     if (!BuildLattice(m, ws, text, n)) return -1;
     CachedLattice lat;
     LatticeToCSR(ws, n, lat.off, lat.start, lat.pid, lat.w);
+    BuildAlias(lat.off.data(), lat.w.data(), n, lat.aprob, lat.aidx);
+    // the raw masses feed only the alias construction — drop them before
+    // caching (the entry shrinks from ~29 to ~21 B/char of sequence)
+    lat.w.clear();
+    lat.w.shrink_to_fit();
     int r = SampleFromCSR(m, lat.off.data(), lat.start.data(),
-                          lat.pid.data(), lat.w.data(), text, n, rng, out,
-                          max_out, ws.tmp);
+                          lat.pid.data(), lat.aprob.data(),
+                          lat.aidx.data(), text, n, rng, out, max_out,
+                          ws.tmp);
     if (r != -1) {  // cache even too-small-max_out lattices (they're valid)
       size_t add = lat.bytes() + key.size() + 96;
       std::unique_lock<std::shared_mutex> ul(m.lat_mutex);
@@ -614,9 +669,11 @@ int SampleEncode(Model& m, Workspace& ws, const char* text, int n,
   }
   if (!BuildLattice(m, ws, text, n)) return -1;
   LatticeToCSR(ws, n, ws.c_off, ws.c_start, ws.c_pid, ws.c_w);
+  BuildAlias(ws.c_off.data(), ws.c_w.data(), n, ws.c_aprob, ws.c_aidx);
   return SampleFromCSR(m, ws.c_off.data(), ws.c_start.data(),
-                       ws.c_pid.data(), ws.c_w.data(), text, n, rng, out,
-                       max_out, ws.tmp);
+                       ws.c_pid.data(), ws.c_aprob.data(),
+                       ws.c_aidx.data(), text, n, rng, out, max_out,
+                       ws.tmp);
 }
 
 }  // namespace
