@@ -111,19 +111,23 @@ struct TrieNode {
 // position's power-of-two scale exactly as the forward pass cached them
 // (the distribution takes ratios within one end position only, so no
 // scales are needed); the raw masses themselves are dropped after the
-// alias build.
+// alias build. All per-edge fields live in ONE 16-byte record so a
+// sampled step's two edge touches (alias probe, chosen edge) cost one
+// cache line each — the 4-parallel-array layout paid ~5 line fetches
+// per piece from a multi-MB working set.
+struct Edge {
+  int32_t start;
+  int32_t pid;
+  float aprob;   // alias threshold in [0,1]
+  int32_t aidx;  // alias target (absolute edge index), -1 = unsampleable
+};
+static_assert(sizeof(Edge) == 16, "Edge must pack to one 16-byte record");
+
 struct CachedLattice {
-  std::vector<int32_t> off;    // n+2 entries
-  std::vector<int32_t> start;  // per edge
-  std::vector<int32_t> pid;
-  std::vector<double> w;
-  // per-edge Walker/Vose alias table (built once with the CSR): backward
-  // sampling picks each node's edge with one uniform + two loads
-  std::vector<float> aprob;
-  std::vector<int32_t> aidx;
+  std::vector<int32_t> off;  // n+2 entries
+  std::vector<Edge> edges;
   size_t bytes() const {
-    return off.capacity() * 4 + start.capacity() * 4 + pid.capacity() * 4 +
-           w.capacity() * 8 + aprob.capacity() * 4 + aidx.capacity() * 4 +
+    return off.capacity() * 4 + edges.capacity() * sizeof(Edge) +
            sizeof(*this);
   }
 };
@@ -302,11 +306,11 @@ struct Workspace {
   std::vector<double> best;
   std::vector<int32_t> back_start, back_piece;
   std::vector<int32_t> tmp;
-  // CSR + alias scratch for the cache-disabled sampling path
-  std::vector<int32_t> c_off, c_start, c_pid;
+  // flattened-lattice scratch: c_off/c_edges for the cache-disabled
+  // sampling path, c_w for every alias build (masses are scratch-only)
+  std::vector<int32_t> c_off;
+  std::vector<Edge> c_edges;
   std::vector<double> c_w;
-  std::vector<float> c_aprob;
-  std::vector<int32_t> c_aidx;
 };
 // NOTE: the per-thread workspace is passed explicitly, NOT read through a
 // C++ `thread_local` inside the hot functions: this library is dlopen'd
@@ -498,13 +502,14 @@ bool BuildLattice(const Model& m, Workspace& ws, const char* text, int n) {
   return !(n > 0 && !(ws.w[n] > 0.0));
 }
 
-// Flatten the workspace's per-end linked lists to CSR. The lists yield
-// edges newest-first; filling each segment from its back restores the
-// insertion (starts-ascending) order the sampling distribution was defined
-// over — so CSR sampling is byte-identical to the linked-list walk.
-void LatticeToCSR(const Workspace& ws, int n, std::vector<int32_t>& off,
-                  std::vector<int32_t>& start, std::vector<int32_t>& pid,
-                  std::vector<double>& w) {
+// Flatten the workspace's per-end linked lists to off[] + interleaved
+// Edge records, with the masses in a parallel scratch for the alias
+// build. The lists yield edges newest-first; filling each segment from
+// its back restores the insertion (starts-ascending) order the sampling
+// distribution was defined over — so flattened sampling is
+// byte-identical to the linked-list walk.
+void LatticeToEdges(const Workspace& ws, int n, std::vector<int32_t>& off,
+                    std::vector<Edge>& edges, std::vector<double>& w) {
   off.assign(n + 2, 0);
   for (int e = 1; e <= n; ++e) {
     int c = 0;
@@ -513,21 +518,20 @@ void LatticeToCSR(const Workspace& ws, int n, std::vector<int32_t>& off,
   }
   for (int e = 1; e <= n + 1; ++e) off[e] += off[e - 1];
   int ne = off[n + 1];
-  start.resize(ne);
-  pid.resize(ne);
+  edges.resize(ne);
   w.resize(ne);
   for (int e = 1; e <= n; ++e) {
     int idx = off[e + 1];
     for (int k = ws.head[e]; k >= 0; k = ws.e_next[k]) {
       --idx;
-      start[idx] = ws.e_start[k];
-      pid[idx] = ws.e_pid[k];
+      edges[idx].start = ws.e_start[k];
+      edges[idx].pid = ws.e_pid[k];
       w[idx] = ws.e_w[k];
     }
   }
 }
 
-// Per-end-position Walker/Vose alias tables over the CSR edge masses:
+// Per-end-position Walker/Vose alias tables over the edge masses:
 // backward sampling then draws each piece with ONE uniform and TWO loads
 // (O(1) per node) instead of a two-pass O(deg) total+CDF scan — the scan
 // made a cache-hit sampled encode SLOWER than a full Viterbi (29 vs
@@ -540,10 +544,7 @@ void LatticeToCSR(const Workspace& ws, int n, std::vector<int32_t>& off,
 // the scan path did. Built once per cached lattice (and per call on the
 // cache-off path, where it is O(edges) next to the forward filter).
 void BuildAlias(const int32_t* off, const double* w, int n,
-                std::vector<float>& aprob, std::vector<int32_t>& aidx) {
-  int ne = off[n + 1];
-  aprob.assign(ne, 1.0f);
-  aidx.assign(ne, -1);
+                std::vector<Edge>& edges) {
   std::vector<int32_t> small, large;  // reused across nodes; deg is tiny
   std::vector<double> p;
   for (int e = 1; e <= n; ++e) {
@@ -552,8 +553,11 @@ void BuildAlias(const int32_t* off, const double* w, int n,
     double total = 0.0;
     for (int k = 0; k < K; ++k) total += w[lo + k];
     if (!(total > 0.0)) {
-      for (int k = 0; k < K; ++k) aprob[lo + k] = 0.0f;
-      continue;  // aidx stays -1: unsampleable node
+      for (int k = 0; k < K; ++k) {
+        edges[lo + k].aprob = 0.0f;
+        edges[lo + k].aidx = -1;  // unsampleable node
+      }
+      continue;
     }
     p.assign(K, 0.0);
     small.clear();
@@ -567,26 +571,25 @@ void BuildAlias(const int32_t* off, const double* w, int n,
       small.pop_back();
       int l = large.back();
       large.pop_back();
-      aprob[lo + s] = static_cast<float>(p[s]);
-      aidx[lo + s] = lo + l;
+      edges[lo + s].aprob = static_cast<float>(p[s]);
+      edges[lo + s].aidx = lo + l;
       p[l] = (p[l] + p[s]) - 1.0;
       (p[l] < 1.0 ? small : large).push_back(l);
     }
     // leftovers are exactly 1 up to rounding: always keep their own column
-    for (auto& rest : {&small, &large})
+    for (auto* rest : {&small, &large})
       for (int k : *rest) {
-        aprob[lo + k] = 1.0f;
-        aidx[lo + k] = lo + k;
+        edges[lo + k].aprob = 1.0f;
+        edges[lo + k].aidx = lo + k;
       }
   }
 }
 
-// Backward-sampling half of FFBS over a CSR lattice (fresh or cached),
-// choosing each node's incoming edge through its alias table.
-int SampleFromCSR(const Model& m, const int32_t* off, const int32_t* es,
-                  const int32_t* ep, const float* ap, const int32_t* ai,
-                  const char* text, int n, std::mt19937_64& rng, int* out,
-                  int max_out, std::vector<int32_t>& tmp) {
+// Backward-sampling half of FFBS over a flattened lattice (fresh or
+// cached), choosing each node's incoming edge through its alias table.
+int SampleFromEdges(const Model& m, const int32_t* off, const Edge* eg,
+                    const char* text, int n, std::mt19937_64& rng, int* out,
+                    int max_out, std::vector<int32_t>& tmp) {
   tmp.clear();  // sampled piece ids, reversed
   int pos = n;
   std::uniform_real_distribution<float> uni(0.0f, 1.0f);
@@ -596,11 +599,11 @@ int SampleFromCSR(const Model& m, const int32_t* off, const int32_t* es,
     float scaled = uni(rng) * K;
     int col = static_cast<int>(scaled);
     if (col >= K) col = K - 1;  // uni() can round to 1.0f
-    int j = lo + col;
-    int chosen = (scaled - col) < ap[j] ? j : ai[j];
+    const Edge& probe = eg[lo + col];
+    int chosen = (scaled - col) < probe.aprob ? lo + col : probe.aidx;
     if (chosen < 0) return -1;  // zero-mass node (unsampleable)
-    int pid = ep[chosen];
-    int start = es[chosen];
+    int pid = eg[chosen].pid;
+    int start = eg[chosen].start;
     // byte fallback at emission (see ViterbiEncode); tmp is reversed, so
     // bytes are pushed last-first
     bool expanded = false;
@@ -639,25 +642,19 @@ int SampleEncode(Model& m, Workspace& ws, const char* text, int n,
       if (it != m.lat_cache.end()) {
         const CachedLattice& lat = it->second;
         m.lat_hits.fetch_add(1, std::memory_order_relaxed);
-        return SampleFromCSR(m, lat.off.data(), lat.start.data(),
-                             lat.pid.data(), lat.aprob.data(),
-                             lat.aidx.data(), text, n, rng, out, max_out,
-                             ws.tmp);
+        return SampleFromEdges(m, lat.off.data(), lat.edges.data(), text,
+                               n, rng, out, max_out, ws.tmp);
       }
     }
     m.lat_misses.fetch_add(1, std::memory_order_relaxed);
     if (!BuildLattice(m, ws, text, n)) return -1;
     CachedLattice lat;
-    LatticeToCSR(ws, n, lat.off, lat.start, lat.pid, lat.w);
-    BuildAlias(lat.off.data(), lat.w.data(), n, lat.aprob, lat.aidx);
-    // the raw masses feed only the alias construction — drop them before
-    // caching (the entry shrinks from ~29 to ~21 B/char of sequence)
-    lat.w.clear();
-    lat.w.shrink_to_fit();
-    int r = SampleFromCSR(m, lat.off.data(), lat.start.data(),
-                          lat.pid.data(), lat.aprob.data(),
-                          lat.aidx.data(), text, n, rng, out, max_out,
-                          ws.tmp);
+    // the raw masses (ws.c_w scratch) feed only the alias construction —
+    // the cached entry keeps just off[] + 16 B/edge
+    LatticeToEdges(ws, n, lat.off, lat.edges, ws.c_w);
+    BuildAlias(lat.off.data(), ws.c_w.data(), n, lat.edges);
+    int r = SampleFromEdges(m, lat.off.data(), lat.edges.data(), text, n,
+                            rng, out, max_out, ws.tmp);
     if (r != -1) {  // cache even too-small-max_out lattices (they're valid)
       size_t add = lat.bytes() + key.size() + 96;
       std::unique_lock<std::shared_mutex> ul(m.lat_mutex);
@@ -668,12 +665,10 @@ int SampleEncode(Model& m, Workspace& ws, const char* text, int n,
     return r;
   }
   if (!BuildLattice(m, ws, text, n)) return -1;
-  LatticeToCSR(ws, n, ws.c_off, ws.c_start, ws.c_pid, ws.c_w);
-  BuildAlias(ws.c_off.data(), ws.c_w.data(), n, ws.c_aprob, ws.c_aidx);
-  return SampleFromCSR(m, ws.c_off.data(), ws.c_start.data(),
-                       ws.c_pid.data(), ws.c_aprob.data(),
-                       ws.c_aidx.data(), text, n, rng, out, max_out,
-                       ws.tmp);
+  LatticeToEdges(ws, n, ws.c_off, ws.c_edges, ws.c_w);
+  BuildAlias(ws.c_off.data(), ws.c_w.data(), n, ws.c_edges);
+  return SampleFromEdges(m, ws.c_off.data(), ws.c_edges.data(), text, n,
+                         rng, out, max_out, ws.tmp);
 }
 
 }  // namespace
