@@ -285,3 +285,53 @@ class TestThreadedBatchEncode:
         t1, t4 = timed(1), timed(4)
         # conservative: real speedup is ~linear; require >=1.8x at 4 threads
         assert t4 < t1 / 1.8, f"t1={t1:.3f}s t4={t4:.3f}s"
+
+
+class TestConcurrentPythonThreads:
+    """The C++ engine releases the GIL, so several PYTHON threads can be
+    inside one handle simultaneously (the batch path's own C++ workers are
+    covered above). This drives the concurrent seams directly: the
+    double-checked piece-weight init (ADVICE r2: atomic pw_alpha) and the
+    shared-lock lattice-cache read/insert paths."""
+
+    def test_concurrent_encode_same_handle(self, model_path, rng):
+        import threading
+
+        from intrepppid_tpu.data.tokenizer import SentencePieceTokenizer
+
+        tok = SentencePieceTokenizer(model_path)
+        if not tok.uses_native:
+            pytest.skip("no native lib")
+        texts = ["".join(rng.choice(list("MKLAGSTVE"), size=200))
+                 for _ in range(32)]
+        # sequential reference AFTER a fresh handle warms nothing: the
+        # threads below race the first-ever piece-weight init + cache fill
+        errors = []
+        results = [None] * 8
+
+        def worker(i):
+            try:
+                out = tok.encode_batch_padded(
+                    texts, 256, enable_sampling=True, alpha=0.1, workers=1
+                )
+                results[i] = out
+                # deterministic viterbi from the same handle, concurrently
+                v = tok.encode(texts[i % len(texts)])
+                assert v == tok._py.encode(texts[i % len(texts)])
+            except Exception as e:  # pragma: no cover - failure reporting
+                errors.append((i, repr(e)))
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors
+        # every thread decoded VALID segmentations of the inputs
+        pieces = {i: p.piece for i, p in enumerate(tok._py.pieces)}
+        for out in results:
+            assert out is not None
+            for row, text in zip(out, texts):
+                ids = [int(t) for t in row if t != 0]
+                assert "".join(pieces[i] for i in ids) == text
