@@ -124,8 +124,8 @@ def main():
 
     pairs_per_s = BATCH * n_steps / dt
 
-    epoch_pairs_per_s, epoch_min, epoch_max, bottleneck = epoch_bench(
-        step_pairs_per_s=pairs_per_s
+    epoch_pairs_per_s, epoch_min, epoch_max, bottleneck, epoch_rates = (
+        epoch_bench(step_pairs_per_s=pairs_per_s)
     )
 
     result = {
@@ -147,6 +147,10 @@ def main():
         # inside run-to-run variance (VERDICT r2 weak #4)
         result["epoch_level_min"] = round(epoch_min, 2)
         result["epoch_level_max"] = round(epoch_max, 2)
+        # every epoch's rate in order (epoch 1 includes compiles and
+        # cache-building): lets a reader tell a cold epoch from the
+        # contention band that min/max alone can't distinguish
+        result["epoch_rates"] = [round(r, 2) for r in epoch_rates]
         result["bottleneck"] = bottleneck
     print(json.dumps(result))
 
@@ -234,7 +238,7 @@ def epoch_bench(step_pairs_per_s: float):
             shutil.rmtree(tmp, ignore_errors=True)
         rates = [e["value"] for e in logger.metrics.get("seq_pairs_per_s", [])]
         if not rates:
-            return None, None, None, None
+            return None, None, None, None, None
         # best of the compile-free epochs (2..4): single-epoch timings on
         # the shared/tunnelled platform swing up to ~30% between minutes;
         # min/max over the same warm epochs expose that band in the artifact
@@ -242,10 +246,10 @@ def epoch_bench(step_pairs_per_s: float):
         warm = max(warm_rates)
         # bottleneck attribution: compare against the device-only step rate
         bottleneck = "host" if warm < 0.75 * step_pairs_per_s else "device"
-        return warm, min(warm_rates), max(warm_rates), bottleneck
+        return warm, min(warm_rates), max(warm_rates), bottleneck, rates
     except Exception:
         traceback.print_exc()
-        return None, None, None, None
+        return None, None, None, None, None
 
 
 if __name__ == "__main__":
