@@ -23,6 +23,12 @@ timeout 2400 python tools/experiment_bwd_chunk.py \
 echo "bwd_chunk rc=$? (log: $OUT/bwd_chunk.log)"
 tail -12 "$OUT/bwd_chunk.log"
 
+echo "== dispatch_k experiment =="
+timeout 2400 python tools/experiment_dispatch_k.py \
+  >"$OUT/dispatch_k.log" 2>&1
+echo "dispatch_k rc=$? (log: $OUT/dispatch_k.log)"
+tail -8 "$OUT/dispatch_k.log"
+
 echo "== bench =="
 timeout 3600 python bench.py >"$OUT/bench.log" 2>&1
 echo "bench rc=$? (log: $OUT/bench.log)"
