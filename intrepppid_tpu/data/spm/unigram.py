@@ -88,6 +88,9 @@ class UnigramTokenizer:
                 and len(p.piece) == 6
                 and p.piece.startswith("<0x")
                 and p.piece.endswith(">")
+                # malformed hex (e.g. "<0xZZ>") is ignored, not fatal —
+                # mirrors the native engine's hex-validity guard
+                and all(c in "0123456789abcdefABCDEF" for c in p.piece[3:5])
             ):
                 self.byte_ids[int(p.piece[3:5], 16)] = idx
 

@@ -161,12 +161,19 @@ struct Model {
   // compares unequal to every alpha, covering the never-initialized case.
   std::atomic<float> pw_alpha{std::numeric_limits<float>::quiet_NaN()};
   std::mutex pw_mutex;
+  // Guards the flat_pw/unk_pw tables against an in-place swap racing an
+  // in-flight BuildLattice on another thread (only contended across an
+  // alpha CHANGE — the same-alpha fast path never takes the writer side).
+  std::shared_mutex pw_rw;
   std::mt19937_64 rng{std::random_device{}()};
+  std::mutex rng_mutex;  // single-encode path shares m->rng across threads
   // Deterministic parallel sampling: every sequence gets its own RNG stream
   // derived from (base_seed, running sequence counter), so batch results are
-  // identical for any thread count.
+  // identical for any thread count. Atomic: concurrent encode_batch calls
+  // from multiple Python threads (ctypes releases the GIL) must claim
+  // disjoint counter ranges.
   uint64_t base_seed = 0x853c49e6748fea9bULL;
-  uint64_t seq_counter = 0;
+  std::atomic<uint64_t> seq_counter{0};
   // Per-sequence lattice cache (training datasets re-encode the same
   // sequences every epoch; the forward filter is deterministic per text, so
   // steady-state epochs pay only the backward-sampling pass — measured
@@ -419,15 +426,24 @@ void EnsurePieceWeights(Model* m, float alpha) {
   std::vector<double> pw(m->flat_score.size());
   for (size_t i = 0; i < pw.size(); ++i)
     pw[i] = std::exp(static_cast<double>(alpha) * m->flat_score[i]);
-  m->unk_pw = std::exp(static_cast<double>(alpha) * m->unk_score);
-  m->flat_pw.swap(pw);
+  {
+    // exclusive vs in-flight BuildLattice readers of the old tables
+    std::unique_lock<std::shared_mutex> wl(m->pw_rw);
+    m->unk_pw = std::exp(static_cast<double>(alpha) * m->unk_score);
+    m->flat_pw.swap(pw);
+  }
+  // Publish the new alpha BEFORE clearing the lattice cache: SampleEncode
+  // only inserts an entry while pw_alpha still equals its own alpha (under
+  // lat_mutex), so with this order a lattice built under the OLD tables
+  // either fails that check or lands before the clear and is wiped by it —
+  // stale entries can never survive into the new-alpha regime.
+  m->pw_alpha.store(alpha, std::memory_order_release);
   {
     // cached lattice masses bake in exp(alpha*score): invalidate on change
     std::unique_lock<std::shared_mutex> ul(m->lat_mutex);
     m->lat_cache.clear();
     m->lat_bytes = 0;
   }
-  m->pw_alpha.store(alpha, std::memory_order_release);
 }
 
 // Forward-filtering half of FFBS in PROBABILITY space: the forward
@@ -629,9 +645,10 @@ int SampleFromEdges(const Model& m, const int32_t* off, const Edge* eg,
   return count;
 }
 
+// alpha is folded into m.flat_pw by EnsurePieceWeights; it is still used
+// here to gate cache insertion against a concurrent alpha change.
 int SampleEncode(Model& m, Workspace& ws, const char* text, int n,
                  float alpha, std::mt19937_64& rng, int* out, int max_out) {
-  (void)alpha;  // folded into m.flat_pw by EnsurePieceWeights
   if (m.lat_cap_bytes > 0) {
     std::string key(text, n);
     {
@@ -647,7 +664,10 @@ int SampleEncode(Model& m, Workspace& ws, const char* text, int n,
       }
     }
     m.lat_misses.fetch_add(1, std::memory_order_relaxed);
-    if (!BuildLattice(m, ws, text, n)) return -1;
+    {
+      std::shared_lock<std::shared_mutex> pwl(m.pw_rw);
+      if (!BuildLattice(m, ws, text, n)) return -1;
+    }
     CachedLattice lat;
     // the raw masses (ws.c_w scratch) feed only the alias construction —
     // the cached entry keeps just off[] + 16 B/edge
@@ -658,13 +678,20 @@ int SampleEncode(Model& m, Workspace& ws, const char* text, int n,
     if (r != -1) {  // cache even too-small-max_out lattices (they're valid)
       size_t add = lat.bytes() + key.size() + 96;
       std::unique_lock<std::shared_mutex> ul(m.lat_mutex);
-      if (m.lat_bytes + add <= m.lat_cap_bytes &&
+      // insertion gate vs a concurrent alpha change: see EnsurePieceWeights
+      // (a lattice built under old tables either fails this check or is
+      // wiped by the clear that follows the pw_alpha store)
+      if (m.pw_alpha.load(std::memory_order_acquire) == alpha &&
+          m.lat_bytes + add <= m.lat_cap_bytes &&
           m.lat_cache.emplace(std::move(key), std::move(lat)).second)
         m.lat_bytes += add;
     }
     return r;
   }
-  if (!BuildLattice(m, ws, text, n)) return -1;
+  {
+    std::shared_lock<std::shared_mutex> pwl(m.pw_rw);
+    if (!BuildLattice(m, ws, text, n)) return -1;
+  }
   LatticeToEdges(ws, n, ws.c_off, ws.c_edges, ws.c_w);
   BuildAlias(ws.c_off.data(), ws.c_w.data(), n, ws.c_edges);
   return SampleFromEdges(m, ws.c_off.data(), ws.c_edges.data(), text, n,
@@ -732,9 +759,10 @@ void spm_free(void* h) { delete static_cast<Model*>(h); }
 
 void spm_seed(void* h, uint64_t seed) {
   Model* m = static_cast<Model*>(h);
+  std::lock_guard<std::mutex> lock(m->rng_mutex);
   m->rng.seed(seed);
   m->base_seed = seed;
-  m->seq_counter = 0;
+  m->seq_counter.store(0, std::memory_order_relaxed);
 }
 
 int spm_vocab_size(void* h) {
@@ -767,6 +795,9 @@ int spm_encode(void* h, const char* text, int text_len, int sampling,
   Workspace& ws = tls_ws;  // one TLS resolution per call
   if (sampling) {
     EnsurePieceWeights(m, alpha);
+    // the single-encode path draws from the shared m->rng: serialize it
+    // (concurrent Python threads reach here with the GIL released)
+    std::lock_guard<std::mutex> lock(m->rng_mutex);
     return SampleEncode(*m, ws, text, text_len, alpha, m->rng, out, max_out);
   }
   return ViterbiEncode(*m, ws, text, text_len, out, max_out);
@@ -783,8 +814,9 @@ int spm_encode_batch(void* h, const char* texts, const int64_t* offsets,
                      int trunc_len, int n_threads) {
   Model* m = static_cast<Model*>(h);
   if (sampling) EnsurePieceWeights(m, alpha);  // before the threads fork
-  const uint64_t stream_base = m->seq_counter;
-  m->seq_counter += static_cast<uint64_t>(n);
+  // atomic range claim: concurrent batch calls get disjoint stream bases
+  const uint64_t stream_base = m->seq_counter.fetch_add(
+      static_cast<uint64_t>(n), std::memory_order_relaxed);
   std::atomic<int> failed{0};
 
   auto work = [&](int lo, int hi) {

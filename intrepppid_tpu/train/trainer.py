@@ -555,9 +555,10 @@ class Trainer:
             )
 
             # deferred step logs: (aux dict, index into a stacked dispatch
-            # group or None, lr, step) — materialized in one concatenated
-            # transfer per metric at epoch end. Any float()/indexing here
-            # would launch device ops inside the hot loop.
+            # group or None, step) — materialized in one concatenated
+            # transfer per metric at epoch end (lr is batch-evaluated there
+            # too). Any float()/indexing here would launch device ops
+            # inside the hot loop.
             pending_step_logs: list = []
 
             def log_step(aux, true_b, auxs=None, index=None):

@@ -42,6 +42,10 @@ def build_charsmap(rules: Dict[bytes, bytes]) -> bytes:
 
     units: Dict[int, int] = {}  # position -> unit (built sparsely)
     used = set()
+    # Base exclusivity (darts-clone's is_used_[offset] rule): if two nodes
+    # shared a base B, every child of one would be a phantom transition of
+    # the other (the reader probes B ^ c and the label byte would match).
+    used_bases = set()
     bases = []  # node_pos ^ offset per placed node, for final sizing
 
     def place(node: Node, node_pos: int) -> int:
@@ -51,13 +55,19 @@ def build_charsmap(rules: Dict[bytes, bytes]) -> bytes:
         slots = ([0] if node.value is not None else []) + labels
         offset = 1
         while True:
-            positions = [node_pos ^ offset ^ c for c in slots]
-            if offset < (1 << 21) and all(p not in used for p in positions):
+            base = node_pos ^ offset
+            positions = [base ^ c for c in slots]
+            if (
+                offset < (1 << 21)
+                and base not in used_bases
+                and all(p not in used for p in positions)
+            ):
                 break
             offset += 1
         for p in positions:
             used.add(p)
-        bases.append(node_pos ^ offset)
+        used_bases.add(base)
+        bases.append(base)
         if node.value is not None:
             units[node_pos ^ offset] = 0x80000000 | node.value
         for c in labels:

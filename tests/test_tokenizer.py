@@ -335,3 +335,10 @@ class TestConcurrentPythonThreads:
             for row, text in zip(out, texts):
                 ids = [int(t) for t in row if t != 0]
                 assert "".join(pieces[i] for i in ids) == text
+        # disjoint per-call RNG ranges: the atomic seq_counter claim means
+        # no two concurrent batch calls may share sampling streams — with
+        # the pre-fix torn read-modify-write, racing threads could read the
+        # same base and return IDENTICAL sampled batches
+        keys = [tuple(tuple(int(t) for t in row) for row in out)
+                for out in results]
+        assert len(set(keys)) == len(keys), "duplicate sampling streams"
