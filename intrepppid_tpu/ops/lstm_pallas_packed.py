@@ -804,6 +804,11 @@ def _bwd_pallas_packed(
     lmap = lambda b, t: (b, 0)
     onb = lambda b, t: (b, 0)
     if shift_in_kernel:
+        # the prev maps shift by whole C-row blocks and the in-kernel
+        # boundary mask covers only the first/last position — at C > 1 the
+        # reads would land C-1 steps off. Callers must materialize shifted
+        # streams to chunk the backward.
+        assert C == 1, "shift_in_kernel requires C == 1"
         prev_f = lambda b, t: (jnp.maximum(nT - 2 - t, 0), b, 0)
         prev_b = lambda b, t: (jnp.minimum(t + 1, nT - 1), b, 0)
     else:
