@@ -1,0 +1,43 @@
+#!/bin/bash
+# Serialized TPU work queue for round 4 (VERDICT r3 next-round items 1 + 5):
+# the three decision-pending kernel experiments, the scaled-config
+# measurement, then the benchmark. Each step is independently bounded and
+# logged; a failed step does not block the next (bench last so its numbers
+# reflect whatever defaults are in the tree when it runs).
+#
+# NEVER run anything else heavy concurrently on this 1-core host.
+#
+# Usage: bash tools/run_r4_tpu_queue.sh [outdir]
+set -u
+OUT=${1:-/tmp/r4_tpu_queue}
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+echo "== pack_boundary experiment =="
+timeout 2400 python tools/experiment_pack_boundary.py \
+  >"$OUT/pack_boundary.log" 2>&1
+echo "pack_boundary rc=$? (log: $OUT/pack_boundary.log)"
+tail -12 "$OUT/pack_boundary.log"
+
+echo "== bwd_chunk experiment =="
+timeout 2400 python tools/experiment_bwd_chunk.py \
+  >"$OUT/bwd_chunk.log" 2>&1
+echo "bwd_chunk rc=$? (log: $OUT/bwd_chunk.log)"
+tail -12 "$OUT/bwd_chunk.log"
+
+echo "== dispatch_k experiment =="
+timeout 2400 python tools/experiment_dispatch_k.py \
+  >"$OUT/dispatch_k.log" 2>&1
+echo "dispatch_k rc=$? (log: $OUT/dispatch_k.log)"
+tail -8 "$OUT/dispatch_k.log"
+
+echo "== scaled_config experiment =="
+timeout 2400 python tools/experiment_scaled_config.py \
+  >"$OUT/scaled_config.log" 2>&1
+echo "scaled_config rc=$? (log: $OUT/scaled_config.log)"
+tail -10 "$OUT/scaled_config.log"
+
+echo "== bench =="
+timeout 3600 python bench.py >"$OUT/bench.log" 2>&1
+echo "bench rc=$? (log: $OUT/bench.log)"
+tail -3 "$OUT/bench.log"
