@@ -116,12 +116,22 @@ class PrecompiledCharsmap:
                 out += rep
                 i += ln
             else:
-                # no rule: copy one UTF-8 character unchanged (malformed
-                # bytes advance singly — sentencepiece's one-char fallback)
+                # no rule: copy one UTF-8 character unchanged. A byte
+                # sequence that is not valid UTF-8 is replaced by U+FFFD,
+                # one byte consumed per replacement — sentencepiece's
+                # normalizer.cc NormalizePrefix fallback (ADVICE r3:
+                # unreachable via normalize(), but normalize_bytes is
+                # public and must not pass malformed bytes through).
                 cl = _utf8_len(data[i])
                 if i + cl > n:
                     cl = 1
-                out += data[i : i + cl]
+                piece = data[i : i + cl]
+                if data[i] >= 0x80:
+                    try:
+                        piece.decode("utf-8")
+                    except UnicodeDecodeError:
+                        piece, cl = b"\xef\xbf\xbd", 1
+                out += piece
                 i += cl
         return bytes(out)
 
@@ -136,7 +146,13 @@ class PrecompiledCharsmap:
         # rewrite whitespace/compatibility chars).
         arr = np.frombuffer(data, dtype=np.uint8)
         if not self._start_mask[arr].any():
-            return data
+            if arr.max(initial=0) < 0x80:
+                return data  # pure ASCII is always valid UTF-8
+            try:
+                data.decode("utf-8")
+                return data
+            except UnicodeDecodeError:
+                pass  # malformed bytes: walk for the U+FFFD fallback
         return self._normalize_walk(data, 0, bytearray())
 
     def normalize(self, text: str) -> str:

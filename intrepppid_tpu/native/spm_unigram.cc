@@ -160,6 +160,13 @@ struct Model {
   // pw_alpha == alpha guarantees the weight tables are visible. NaN sentinel
   // compares unequal to every alpha, covering the never-initialized case.
   std::atomic<float> pw_alpha{std::numeric_limits<float>::quiet_NaN()};
+  // Monotonic table-swap counter: gating cache insertion on pw_alpha VALUE
+  // equality has an ABA hole if alpha oscillates A->B->A while an encode is
+  // in flight (a B-table lattice could pass the check and be cached into
+  // the restored-A regime). Incremented with each table swap (under pw_rw
+  // exclusive); SampleEncode snapshots it BEFORE BuildLattice and only
+  // caches a lattice whose generation is still current at insertion.
+  std::atomic<uint64_t> pw_generation{0};
   std::mutex pw_mutex;
   // Guards the flat_pw/unk_pw tables against an in-place swap racing an
   // in-flight BuildLattice on another thread (only contended across an
@@ -431,6 +438,10 @@ void EnsurePieceWeights(Model* m, float alpha) {
     std::unique_lock<std::shared_mutex> wl(m->pw_rw);
     m->unk_pw = std::exp(static_cast<double>(alpha) * m->unk_score);
     m->flat_pw.swap(pw);
+    // generation bump inside the exclusive section: any BuildLattice that
+    // saw the OLD tables took its shared lock (and its generation snapshot)
+    // strictly before this, so its snapshot can never equal the new value
+    m->pw_generation.fetch_add(1, std::memory_order_release);
   }
   // Publish the new alpha BEFORE clearing the lattice cache: SampleEncode
   // only inserts an entry while pw_alpha still equals its own alpha (under
@@ -645,10 +656,12 @@ int SampleFromEdges(const Model& m, const int32_t* off, const Edge* eg,
   return count;
 }
 
-// alpha is folded into m.flat_pw by EnsurePieceWeights; it is still used
-// here to gate cache insertion against a concurrent alpha change.
+// alpha is folded into m.flat_pw by EnsurePieceWeights; the cache-insertion
+// gate keys on m.pw_generation rather than the alpha value (value equality
+// has an ABA hole under A->B->A oscillation).
 int SampleEncode(Model& m, Workspace& ws, const char* text, int n,
                  float alpha, std::mt19937_64& rng, int* out, int max_out) {
+  (void)alpha;
   if (m.lat_cap_bytes > 0) {
     std::string key(text, n);
     {
@@ -664,6 +677,10 @@ int SampleEncode(Model& m, Workspace& ws, const char* text, int n,
       }
     }
     m.lat_misses.fetch_add(1, std::memory_order_relaxed);
+    // snapshot BEFORE building: the tables BuildLattice reads are of this
+    // generation or newer; either way an intervening swap (including an
+    // A->B->A alpha oscillation) changes the counter and blocks insertion
+    const uint64_t gen = m.pw_generation.load(std::memory_order_acquire);
     {
       std::shared_lock<std::shared_mutex> pwl(m.pw_rw);
       if (!BuildLattice(m, ws, text, n)) return -1;
@@ -678,10 +695,11 @@ int SampleEncode(Model& m, Workspace& ws, const char* text, int n,
     if (r != -1) {  // cache even too-small-max_out lattices (they're valid)
       size_t add = lat.bytes() + key.size() + 96;
       std::unique_lock<std::shared_mutex> ul(m.lat_mutex);
-      // insertion gate vs a concurrent alpha change: see EnsurePieceWeights
-      // (a lattice built under old tables either fails this check or is
-      // wiped by the clear that follows the pw_alpha store)
-      if (m.pw_alpha.load(std::memory_order_acquire) == alpha &&
+      // insertion gate vs a concurrent table swap: a lattice whose
+      // generation snapshot is stale either fails this check or (when the
+      // swap's generation bump hasn't been observed yet) lands before the
+      // cache clear that follows it and is wiped by that clear
+      if (m.pw_generation.load(std::memory_order_acquire) == gen &&
           m.lat_bytes + add <= m.lat_cap_bytes &&
           m.lat_cache.emplace(std::move(key), std::move(lat)).second)
         m.lat_bytes += add;

@@ -38,9 +38,11 @@ class SWAState:
     of epoch ``e+1``, so the equivalent end-of-epoch update window is
     ``swa_start-1 .. max_epochs-2`` — in particular the final epoch's
     post-training weights never enter the average, exactly like Lightning.
-    (Sole unreachable corner: if ``swa_start == 0`` Lightning would average
-    the *initial* weights at the start of epoch 0, which an end-of-epoch hook
-    cannot observe; that requires num_epochs <= 2 at the 0.8 default.)
+    Corner (ADVICE r3): if ``swa_start == 0`` (num_epochs <= 2 at the 0.8
+    default) Lightning averages the *initial* weights at the start of epoch
+    0, which an end-of-epoch hook cannot observe — the trainer calls
+    :meth:`seed_initial` with the initial params before the first epoch so
+    that term is not lost.
 
     The SWALR annealing (``lr_scale``) keys on ``swa_start`` directly: the
     LR used *during* epoch ``e`` corresponds to Lightning's epoch ``e``.
@@ -56,6 +58,19 @@ class SWAState:
         self.num_epochs = num_epochs
         self.n_averaged = 0
         self.avg_params: Optional[Any] = None
+
+    def seed_initial(self, params) -> None:
+        """Seed the average with the *initial* params when ``swa_start == 0``
+        (Lightning averages them at the start of epoch 0 — before any
+        training — which the end-of-epoch hook can never see). Call once,
+        before the first epoch of a fresh (non-resumed) fit; a no-op in
+        every other configuration."""
+        if self.swa_start != 0 or self.avg_params is not None:
+            return
+        self.avg_params = jax.tree_util.tree_map(
+            lambda p: jnp.array(p, dtype=jnp.float32, copy=True), params
+        )
+        self.n_averaged = 1
 
     def active(self, epoch: int) -> bool:
         """Whether the end-of-epoch hook at 0-based ``epoch`` should average."""

@@ -238,6 +238,39 @@ class TestSWA:
         final = swa.final_params(params)
         np.testing.assert_allclose(np.asarray(final["w"]), [7.0, 7.0])
 
+    def test_seed_initial_at_swa_start_zero(self):
+        """swa_start == 0 corner (ADVICE r3): Lightning averages the
+        INITIAL weights at the start of epoch 0; seed_initial supplies
+        that term to the end-of-epoch hook. E=2 at the 0.8 default:
+        swa_start = max(int(1.6)-1, 0) = 0; Lightning averages starts of
+        epochs 0 (init) and 1 (post-epoch-0) => n=2, avg=(init+p0)/2."""
+        swa = SWAState(SWAConfig(), num_epochs=2)
+        assert swa.swa_start == 0
+        init = {"w": jnp.full((2,), 10.0)}
+        swa.seed_initial(init)
+        assert swa.n_averaged == 1
+        p0 = {"w": jnp.full((2,), 4.0)}
+        swa.update(0, p0)   # end of epoch 0 == start of epoch 1
+        p1 = {"w": jnp.full((2,), 99.0)}
+        swa.update(1, p1)   # final epoch post-training weights: excluded
+        assert swa.n_averaged == 2
+        np.testing.assert_allclose(
+            np.asarray(swa.final_params(p1)["w"]), [7.0, 7.0]
+        )
+        # E=1: Lightning averages only the init weights (start of epoch 0)
+        swa1 = SWAState(SWAConfig(), num_epochs=1)
+        assert swa1.swa_start == 0
+        swa1.seed_initial(init)
+        swa1.update(0, p0)  # update_end = -1: excluded
+        assert swa1.n_averaged == 1
+        np.testing.assert_allclose(
+            np.asarray(swa1.final_params(p0)["w"]), [10.0, 10.0]
+        )
+        # no-op when swa_start > 0 (the normal configuration)
+        swa10 = SWAState(SWAConfig(), num_epochs=10)
+        swa10.seed_initial(init)
+        assert swa10.n_averaged == 0 and swa10.avg_params is None
+
     def test_lightning_start_epoch_arithmetic(self):
         # Pin the start-epoch arithmetic against Lightning 1.9's
         # StochasticWeightAveraging: swa_start = max(int(0.8*E) - 1, 0)

@@ -515,13 +515,18 @@ class TestPrecompiledCharsmap:
 
     def test_screen_fast_path_is_exact(self, blob):
         """The vectorized no-candidate screen must equal the sequential
-        walk byte-for-byte, including on malformed UTF-8."""
+        walk byte-for-byte, including on malformed UTF-8 (the screen only
+        short-circuits to identity on *valid* UTF-8 with no candidate
+        bytes; malformed input falls through to the walk, whose no-match
+        fallback replaces each invalid byte with U+FFFD \u2014 sentencepiece
+        normalizer.cc semantics, ADVICE r3)."""
         from intrepppid_tpu.data.spm.charsmap import PrecompiledCharsmap
 
+        FFFD = "\ufffd".encode()
         mine = PrecompiledCharsmap(blob)
         cases = [
             b"MKVLQAGE",                     # no candidate: identity
-            b"\xe4AB",                       # malformed lead swallowing ASCII
+            b"\xe4AB",                       # malformed lead before ASCII
             b"abc\xff\xfe",                  # invalid bytes
             "\uff21\u2603".encode() + b"\xcc",  # candidates + dangling lead
             b"",
@@ -531,6 +536,16 @@ class TestPrecompiledCharsmap:
             walk = mine._normalize_walk(data, 0, bytearray())
             assert mine.normalize_bytes(data) == walk, data
             if data and not mine._start_mask[list(data)].any():
-                # screened case: the walk must be identity for the
+                try:
+                    data.decode("utf-8")
+                except UnicodeDecodeError:
+                    continue  # malformed: walk emits U+FFFD, not identity
+                # screened valid case: the walk must be identity for the
                 # screen to be exact
                 assert walk == data
+        # malformed bytes map to one U+FFFD each; valid chars untouched
+        assert mine._normalize_walk(b"\x80\x80", 0, bytearray()) == FFFD * 2
+        assert mine._normalize_walk(b"\xe4AB", 0, bytearray()) == FFFD + b"AB"
+        assert (
+            mine.normalize_bytes(b"abc\xff\xfe") == b"abc" + FFFD * 2
+        )
