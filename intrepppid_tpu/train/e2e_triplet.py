@@ -104,8 +104,11 @@ def train_e2e_rnn_triplet(
         "optimizer_type": optimizer_type,
         "precision": precision,
     }
-    with open(hyperparams_path, "w") as f:
-        json.dump(hyperparameters, f)
+    # rank-zero write: on a multi-host pod every process runs this driver
+    # against a shared filesystem (cf. trainer rank-zero guards)
+    if jax.process_index() == 0:
+        with open(hyperparams_path, "w") as f:
+            json.dump(hyperparameters, f)
 
     data_module = IntrepppidDataModule(
         batch_size=batch_size,
@@ -181,8 +184,9 @@ def train_e2e_rnn_triplet(
     test_results = trainer.test(data_module, ckpt="best")
 
     dict_logger.metrics["test_results"] = [test_results]
-    makedirs(log_path / model_name, exist_ok=True)
-    dict_logger.save_json(log_path / model_name / "metrics.json")
+    if jax.process_index() == 0:
+        makedirs(log_path / model_name, exist_ok=True)
+        dict_logger.save_json(log_path / model_name / "metrics.json")
     if tb_writer is not None:
         tb_writer.close()
     return trainer, test_results
