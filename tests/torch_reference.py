@@ -21,10 +21,17 @@ encoder/head from `intrepppid/encoders/awd_lstm.py:23-155` and
 * the dead ``Projection`` MLP (`awd_lstm.py:140-142`): never called, but its
   parameters ride along in the optimizer exactly like the reference.
 
-All four stochastic mechanisms (embedding dropout, DropConnect weight drop,
-activation dropout, subword sampling) are DISABLED — the replica exists to
-pin the deterministic composition over many training steps, where the RNG
-streams could never match across frameworks anyway.
+The stochastic mechanisms are DISABLED by default (the deterministic
+trajectory tests pin the composition where RNG streams could never match
+across frameworks), but the model-level three can be ENABLED with the
+reference's exact semantics for the dropout-ON *distributional* parity
+test (VERDICT r3 missing #3): embedding dropout (whole-vocab-row Bernoulli
+mask scaled 1/(1-p), `intrepppid/utils/embedding_do.py:20-44`), DropConnect
+on ``weight_hh_l0`` — the layer-0 FORWARD recurrent matrix only, redrawn
+per encoder call (`intrepppid/utils/weightdrop.py:84-111`,
+`encoders/awd_lstm.py:43-45`), and the head's DropConnect Linears plus
+double Mish/Dropout (`classifier/head/mlp.py:35-63`). Subword sampling is
+data-level and out of scope here.
 """
 from __future__ import annotations
 
@@ -43,15 +50,30 @@ class TorchTripletReplica(nn.Module):
         use_projection: bool = False,
         beta_classifier: float = 2.0,
         include_dead_projection: bool = True,
+        embedding_droprate: float = 0.0,
+        rnn_dropout_rate: float = 0.0,
+        do_rate: float = 0.0,
     ):
         super().__init__()
         E = embedding_size
         self.bi_reduce = bi_reduce
         self.beta_classifier = beta_classifier
+        self.embedding_droprate = embedding_droprate
+        self.rnn_dropout_rate = rnn_dropout_rate
+        self.do_rate = do_rate
         self.embedder = nn.Embedding(vocab_size, E, padding_idx=0)
         self.rnn = nn.LSTM(
             E, E, rnn_num_layers, bidirectional=True, batch_first=True
         )
+        if rnn_dropout_rate > 0.0:
+            # the reference's WeightDrop rewiring (weightdrop.py:65-79):
+            # the raw matrix becomes the learnable parameter; each forward
+            # re-installs a freshly dropped copy on the LSTM (torch >= 2
+            # RNNBase rebuilds _flat_weights from attributes per forward)
+            w = self.rnn.weight_hh_l0
+            del self.rnn._parameters["weight_hh_l0"]
+            self.weight_hh_l0_raw = nn.Parameter(w.data)
+            self.rnn.weight_hh_l0 = w.data
         self.fc = nn.Linear(E, E)
         if include_dead_projection:
             # `Projection(E, 2E, 3)`: instantiated, never called
@@ -73,7 +95,23 @@ class TorchTripletReplica(nn.Module):
         # dynamic truncation to the longest non-pad row, per call
         max_len = int(torch.max(torch.sum(x != 0, dim=1)))
         x = x[:, :max_len]
-        e = self.embedder(x)
+        if self.training and self.embedding_droprate > 0.0:
+            # embedding_do.py:20-44 — Bernoulli mask over vocab ROWS,
+            # scaled 1/(1-p); padding row handled by F.embedding
+            p = self.embedding_droprate
+            mask = self.embedder.weight.new_empty(
+                (self.embedder.weight.size(0), 1)
+            ).bernoulli_(1 - p) / (1 - p)
+            e = F.embedding(
+                x, mask * self.embedder.weight, padding_idx=0
+            )
+        else:
+            e = self.embedder(x)
+        if self.rnn_dropout_rate > 0.0:
+            # fresh DropConnect mask per encoder call (weightdrop.py:84-111)
+            self.rnn.weight_hh_l0 = F.dropout(
+                self.weight_hh_l0_raw, self.rnn_dropout_rate, self.training
+            )
         _, (hn, _) = self.rnn(e)
         if self.bi_reduce == "max":
             z = torch.max(hn[-2:], dim=0).values
@@ -86,6 +124,18 @@ class TorchTripletReplica(nn.Module):
     def head(self, z1: torch.Tensor, z2: torch.Tensor) -> torch.Tensor:
         x = (z1 + z2) / 2
         x = self.mish(x)
+        if self.do_rate > 0.0:
+            # mlp.py:35-63 — DropConnect Linear weights + the double
+            # Mish/Dropout quirk (Appendix A #8); biases undropped
+            p, training = self.do_rate, self.training
+            x = F.linear(
+                x, F.dropout(self.fc1.weight, p, training), self.fc1.bias
+            )
+            x = F.dropout(self.mish(x), p, training)
+            x = F.dropout(self.mish(x), p, training)
+            return F.linear(
+                x, F.dropout(self.fc2.weight, p, training), self.fc2.bias
+            )
         x = self.fc1(x)
         x = self.mish(self.mish(x))  # Dropout(p) between/after is disabled
         return self.fc2(x)
@@ -118,6 +168,9 @@ class TorchTripletReplica(nn.Module):
         ``torch_state_dict_to_params``."""
         out = {}
         for k, v in self.state_dict().items():
+            if k == "weight_hh_l0_raw":
+                out["encoder.encoder.rnn.weight_hh_l0_raw"] = v
+                continue
             if k.startswith("embedder."):
                 out["encoder." + k] = v
             elif k.startswith("rnn."):
