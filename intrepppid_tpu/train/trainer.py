@@ -12,10 +12,13 @@ TPU-native replacement for the reference's ``pl.Trainer`` usage
 * per-epoch orbax checkpoints monitoring ``val_loss``; best-checkpoint
   test; resume from a checkpoint path,
 * StochasticWeightAveraging from 80% of epochs (`e2e_triplet.py:390`) —
-  parameter averaging only by default: scaling a composite Ranger21 update
-  (lookahead merges, stable decay) by an SWALR-style multiplier would
-  desynchronise the lookahead fast/slow weights, so ``use_swa_lr_scale``
-  defaults to False (opt-in, meaningful for the plain AdamW variants),
+  parameter averaging only by default. ``use_swa_lr_scale=False`` is a
+  MEASURED default (tools/experiment_swa_lr.py, docs/performance.md "SWA
+  LR-scale default"): at the manuscript lr=1e-2 the reference's SWALR
+  anneal is a no-op by construction (swa_lrs == base lr → multiplier 1.0),
+  and at lr != swa_lr the A/B measured no material effect either way
+  under ranger21 (Δloss ~1e-6) and a within-noise gain under adamw
+  (opt-in stays meaningful for the plain AdamW variants),
 * DictLogger (-> metrics.json) + TensorBoard + per-step LR monitor
   (`e2e_triplet.py:387-389`), logging train step losses every
   ``log_every_n_steps`` (default 2, `e2e_triplet.py:399`),
