@@ -218,7 +218,10 @@ def run_trainer_fit(mesh, shared_dir):
         logger = DictLogger()
         trainer = Trainer(
             build(2), ckpt_dir, "mpfit", seed=5, mesh=mesh, swa=None,
-            loggers=[logger], steps_per_dispatch=1,
+            # K=2 over 3 batches/epoch: one stacked dispatch group + one
+            # single tail — exercises the stacked multi-host transfer path
+            # (the TPU default is K=10, so a real pod fit WILL stack)
+            loggers=[logger], steps_per_dispatch=2,
         )
         fit_metrics = trainer.fit(dm)
         test_metrics = trainer.test(dm, ckpt="best")
