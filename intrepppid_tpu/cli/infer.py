@@ -15,7 +15,14 @@ Improvements over the reference:
 
 * **batched inference** (the reference runs batch-of-1 with an acknowledged
   TODO, `cli/infer.py:216-217`): rows are grouped into ``--batch_size``
-  batches, length-bucketed, and run through one jitted forward,
+  batches, length-bucketed, and run through one jitted forward —
+  K consecutive same-shape batches stack into ONE dispatch (a scanned
+  executable, like the Trainer/eval ``steps_per_dispatch`` path; each
+  runtime dispatch costs ~45 ms on tunnelled TPU platforms), sigmoid runs
+  in-graph, the tail batch pads to the fixed batch shape (a fresh tail
+  shape would compile a whole new executable — minutes on a remote-compile
+  platform), and result materialization trails one dispatch behind so CSV
+  writing overlaps device compute,
 * deterministic tokenisation by default (the reference leaves subword
   *sampling* on at inference, Appendix A #11 — opt back in with
   ``--sampling true``),
@@ -158,6 +165,7 @@ class Infer:
         embedding_size: int = 64,
         rnn_num_layers: int = 2,
         bi_reduce: str = "last",
+        steps_per_dispatch: Optional[int] = None,
     ):
         """Score protein pairs from a CSV (columns itx_id,id_a,id_b) using a
         FASTA sequence library; writes itx_id,probability CSV."""
@@ -233,19 +241,32 @@ class Infer:
 
         # tokens cross the host->device wire in the bit-plane format (the
         # tunnel moves ~30 MB/s, so wire bytes are wall time at proteome
-        # scale); widened in-graph, bit-exact
-        from intrepppid_tpu.train.trainer import compress_batch_for_wire, widen_batch
+        # scale); widened in-graph, bit-exact. Sigmoid also runs in-graph
+        # so scoring a batch is ONE device dispatch end-to-end.
+        from intrepppid_tpu.train.trainer import (
+            compress_batch_for_wire,
+            group_dispatch_batches,
+            resolve_steps_per_dispatch,
+            widen_batch,
+        )
 
-        def _forward_wire(wire):
+        def _probs_wire(wire):
             b = widen_batch(wire)
-            return net.forward(params, b["p1"], b["p2"], train=False)
-
-        forward_wire = jax.jit(_forward_wire)
-
-        def forward(xa, xb):
-            return forward_wire(
-                compress_batch_for_wire({"p1": xa, "p2": xb}, vocab_size)
+            return jax.nn.sigmoid(
+                net.forward(params, b["p1"], b["p2"], train=False)
             )
+
+        probs_one = jax.jit(_probs_wire)
+        # K same-shape batches scanned inside one executable, exactly the
+        # Trainer/eval steps_per_dispatch scheme: per-dispatch runtime
+        # overhead (~45 ms tunnelled) would otherwise dominate the ~few-ms
+        # eval forward at proteome scale
+        probs_multi = jax.jit(
+            lambda wires: jax.lax.scan(
+                lambda c, w: (c, _probs_wire(w)), 0, wires
+            )[1]
+        )
+        K = resolve_steps_per_dispatch(steps_per_dispatch)
 
         # ------------------------------------------------------ batched IO
         opener = gzip.open if str(interactions_path).endswith(".gz") else open
@@ -255,27 +276,75 @@ class Infer:
 
         buckets = default_buckets(trunc_len)
 
-        def flush(rows_buf, writer):
-            if not rows_buf:
-                return
+        def make_wire(rows_buf):
+            """One fixed-shape dispatch batch: rows bucket-padded on T and
+            repeat-padded on B to exactly ``batch_size`` (a variable tail
+            shape would compile a fresh executable — minutes on a
+            remote-compile platform; the pad rows' outputs are discarded
+            at write time, cf. ``parallel.mesh.pad_batch_to_multiple``)."""
             maxlen = 1
             for _, ea, eb in rows_buf:
                 maxlen = max(maxlen, int(np.sum(ea != 0)), int(np.sum(eb != 0)))
             T = next((b for b in buckets if maxlen <= b), trunc_len)
             xa = np.stack([ea[:T] for _, ea, _ in rows_buf])
             xb = np.stack([eb[:T] for _, _, eb in rows_buf])
-            logits = forward(xa, xb)
-            probs = np.asarray(jax.nn.sigmoid(logits)).reshape(-1)
-            for (itx_id, _, _), p in zip(rows_buf, probs):
-                writer.writerow({"itx_id": itx_id, "probability": float(p)})
-            rows_buf.clear()
+            if len(rows_buf) < batch_size:
+                pad = batch_size - len(rows_buf)
+                xa = np.concatenate([xa, np.repeat(xa[-1:], pad, axis=0)])
+                xb = np.concatenate([xb, np.repeat(xb[-1:], pad, axis=0)])
+            wire = compress_batch_for_wire({"p1": xa, "p2": xb}, vocab_size)
+            # meta is a LIST of ids: group_dispatch_batches tuples the metas
+            # of a stacked group, so tuple-ness tells the consumer apart
+            return wire, [itx_id for itx_id, _, _ in rows_buf]
 
         n_done = 0
         try:
-            n_done = _score_pairs(
-                interactions_path, out_path, get_embed, flush, batch_size,
-                opener, mode,
-            )
+            from collections import deque
+
+            with open(out_path, "w", newline="") as f_out:
+                writer = csv.DictWriter(
+                    f_out, fieldnames=["itx_id", "probability"]
+                )
+                pending = deque()  # (ids_meta, in-flight device probs)
+
+                def drain(leave: int = 0) -> None:
+                    """Materialize finished dispatches and write their CSV
+                    rows, leaving ``leave`` in flight: host CSV/tokenise
+                    work overlaps the device computing the trailing
+                    dispatch (np.asarray is the sync point). FIFO order ==
+                    input order, like the reference's output."""
+                    nonlocal n_done
+                    while len(pending) > leave:
+                        ids, dev = pending.popleft()
+                        if isinstance(ids, tuple):  # K'-stacked group
+                            arr = np.asarray(dev).reshape(len(ids), -1)
+                            parts = zip(ids, arr)
+                        else:
+                            parts = [(ids, np.asarray(dev).reshape(-1))]
+                        for id_list, probs in parts:
+                            # zip truncates the repeat-padded tail rows
+                            for itx_id, p in zip(id_list, probs):
+                                writer.writerow(
+                                    {"itx_id": itx_id, "probability": float(p)}
+                                )
+                            n_done += len(id_list)
+
+                wires = (
+                    make_wire(rb)
+                    for rb in _iter_row_batches(
+                        interactions_path, get_embed, batch_size, opener, mode
+                    )
+                )
+                grouped = group_dispatch_batches(wires, K) if K > 1 else wires
+                for wire, ids in grouped:
+                    dev = (
+                        probs_multi(wire)
+                        if isinstance(ids, tuple)
+                        else probs_one(wire)
+                    )
+                    pending.append((ids, dev))
+                    drain(leave=1)
+                drain()
         finally:
             # auto-created low-memory DBs are scratch space: remove like the
             # reference does (`intrepppid/cli/infer.py:229-231`)
@@ -287,36 +356,34 @@ class Infer:
         return n_done
 
 
-def _score_pairs(interactions_path, out_path, get_embed, flush, batch_size,
-             opener, mode) -> int:
-    n_done = 0
-    with open(out_path, "w", newline="") as f_out:
-        writer = csv.DictWriter(f_out, fieldnames=["itx_id", "probability"])
-        with opener(str(interactions_path), mode) as f_in:
-            reader = csv.DictReader(
-                f_in, fieldnames=["itx_id", "id_a", "id_b"]
-            )
-            buf = []
-            for row in reader:
-                embed_a = get_embed(row["id_a"])
-                embed_b = get_embed(row["id_b"])
-                if embed_a is None or embed_b is None:
-                    missing = [
-                        rid
-                        for rid, e in (
-                            (row["id_a"], embed_a),
-                            (row["id_b"], embed_b),
-                        )
-                        if e is None
-                    ]
-                    print(
-                        f"Can't compute pair id: {row['itx_id']} "
-                        f"(missing sequences: {', '.join(missing)})"
+def _iter_row_batches(interactions_path, get_embed, batch_size, opener, mode):
+    """Stream scoreable (itx_id, embed_a, embed_b) rows in input order,
+    grouped into ``batch_size`` lists (the final list may be shorter).
+    Pairs with unresolvable sequences are reported and skipped, exactly
+    like the reference (`intrepppid/cli/infer.py:199-205`)."""
+    with opener(str(interactions_path), mode) as f_in:
+        reader = csv.DictReader(f_in, fieldnames=["itx_id", "id_a", "id_b"])
+        buf = []
+        for row in reader:
+            embed_a = get_embed(row["id_a"])
+            embed_b = get_embed(row["id_b"])
+            if embed_a is None or embed_b is None:
+                missing = [
+                    rid
+                    for rid, e in (
+                        (row["id_a"], embed_a),
+                        (row["id_b"], embed_b),
                     )
-                    continue
-                buf.append((row["itx_id"], embed_a, embed_b))
-                n_done += 1
-                if len(buf) >= batch_size:
-                    flush(buf, writer)
-            flush(buf, writer)
-    return n_done
+                    if e is None
+                ]
+                print(
+                    f"Can't compute pair id: {row['itx_id']} "
+                    f"(missing sequences: {', '.join(missing)})"
+                )
+                continue
+            buf.append((row["itx_id"], embed_a, embed_b))
+            if len(buf) >= batch_size:
+                yield buf
+                buf = []
+        if buf:
+            yield buf

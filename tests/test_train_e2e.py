@@ -149,6 +149,56 @@ def test_infer_cli_roundtrip(trained, fixtures, tmp_path):
         assert 0.0 <= float(prob) <= 1.0
 
 
+def test_infer_stacked_dispatch_matches_single(trained, fixtures, tmp_path):
+    """K-stacked infer dispatches (scanned executable + repeat-padded tail
+    batch) must produce byte-identical scores, in input order, to the
+    single-dispatch path."""
+    import h5py
+
+    trainer, _, log_path = trained
+    run_dir = next(
+        d for d in log_path.iterdir() if d.is_dir() and d.name != "tensorboard"
+    )
+    best = json.loads((run_dir / "chkpt" / "best.json").read_text())["best"]
+    with h5py.File(fixtures / "tiny.h5", "r") as f:
+        seqs = {
+            row["name"].decode(): row["sequence"].decode()
+            for row in f["sequences"][:]
+        }
+    names = list(seqs)[:10]
+    fasta = tmp_path / "seqs.fasta"
+    with open(fasta, "w") as f:
+        for n in names:
+            f.write(f">{n}\n{seqs[n]}\n")
+    pairs = tmp_path / "pairs.csv"
+    with open(pairs, "w") as f:
+        for i in range(9):  # batch_size=2 -> 5 batches, tail of 1 (padded)
+            f.write(f"itx{i},{names[i]},{names[i + 1]}\n")
+
+    from intrepppid_tpu.cli.infer import Infer
+
+    outs = {}
+    for k in (1, 3):
+        out = tmp_path / f"scores_k{k}.csv"
+        n = Infer.from_csv(
+            interactions_path=pairs,
+            sequences_path=fasta,
+            weights_path=best,
+            spm_path=fixtures / "tiny_spm.model",
+            out_path=out,
+            trunc_len=64,
+            batch_size=2,
+            vocab_size=38,
+            embedding_size=16,
+            steps_per_dispatch=k,
+        )
+        assert n == 9
+        outs[k] = out.read_text()
+    assert outs[1] == outs[3]
+    ids = [line.split(",")[0] for line in outs[1].strip().splitlines()]
+    assert ids == [f"itx{i}" for i in range(9)]  # input order preserved
+
+
 def test_infer_low_memory_mode(trained, fixtures, tmp_path):
     import h5py
 
