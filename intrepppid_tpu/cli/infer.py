@@ -184,6 +184,37 @@ class Infer:
                 trunc_len, spp, seq, sampling=sampling
             ).tolist()
 
+        def encode_stream(named_iter):
+            """Tokenise a (name, seq) stream in CHUNK-sized batches through
+            the native engine (GIL-released C++ threads; exactly
+            ``static_encode``'s deterministic semantics) — the sequence-
+            library build is the host-bound phase at proteome scale. Falls
+            back to per-sequence ``encode`` when subword sampling is opted
+            in (``--sampling true``): the batch path draws per-sequence RNG
+            streams, not the per-call stream."""
+            if sampling or not spp.uses_native:
+                for name, seq in named_iter:
+                    yield name, encode(seq)
+                return
+            import os as _os
+
+            w = _os.cpu_count() or 1
+            names, seqs = [], []
+
+            def flush():
+                rows = spp.encode_batch_padded(seqs, trunc_len, workers=w)
+                yield from zip(names, (r.tolist() for r in rows))
+
+            CHUNK = 1024
+            for name, seq in named_iter:
+                names.append(name)
+                seqs.append(seq)
+                if len(names) >= CHUNK:
+                    yield from flush()
+                    names, seqs = [], []
+            if names:
+                yield from flush()
+
         uniprot = _UniprotFetcher() if get_from_uniprot else None
 
         # ------------------------------------------------ sequence library
@@ -196,8 +227,8 @@ class Infer:
             store = _KVStore(db_path)
             if not dont_populate_db:
                 print("Building sequence db...")
-                for name, sequence in stream_fasta(sequences_path):
-                    store.put(name, json.dumps(encode(sequence)))
+                for name, toks in encode_stream(stream_fasta(sequences_path)):
+                    store.put(name, json.dumps(toks))
 
             def get_embed(name: str) -> Optional[np.ndarray]:
                 v = store.get(name)
@@ -213,8 +244,8 @@ class Infer:
 
         else:
             embeddings = {}
-            for name, sequence in stream_fasta(sequences_path):
-                embeddings[name] = np.array(encode(sequence), np.int32)
+            for name, toks in encode_stream(stream_fasta(sequences_path)):
+                embeddings[name] = np.array(toks, np.int32)
 
             def get_embed(name: str) -> Optional[np.ndarray]:
                 if name in embeddings:

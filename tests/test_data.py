@@ -103,6 +103,24 @@ class TestDataset:
         long = ds.static_encode(10, ds.spp, "MKL" * 30, sampling=False)
         assert long.shape == (10,)
 
+    def test_batch_encode_matches_static_encode(self, fixtures):
+        """The native batch path (used by the infer CLI's sequence-library
+        build) must reproduce ``static_encode``'s deterministic output
+        row-for-row, including char-truncation and zero-padding."""
+        import h5py
+
+        ds = IntrepppidDataset(
+            fixtures / "tiny.h5", 3, "val", fixtures / "tiny_spm.model",
+            trunc_len=48, seed=1,
+        )
+        with h5py.File(fixtures / "tiny.h5", "r") as f:
+            seqs = [r["sequence"].decode() for r in f["sequences"][:16]]
+        seqs += ["M", "MKL" * 40]  # tiny + char-truncated rows
+        batch = ds.spp.encode_batch_padded(seqs, 48, workers=2)
+        for seq, row in zip(seqs, batch):
+            expect = ds.static_encode(48, ds.spp, seq, sampling=False)
+            np.testing.assert_array_equal(row, expect, err_msg=seq[:20])
+
 
 class TestDataModule:
     def _dm(self, fixtures, **kw):
