@@ -79,7 +79,7 @@ class Eval:
         from intrepppid_tpu.parallel import (
             batch_sharding,
             make_mesh,
-            pad_batch_to_multiple,
+            pad_batch_to_size,
             replicated_sharding,
         )
         from intrepppid_tpu.train.checkpoint import load_params_from_checkpoint
@@ -161,8 +161,14 @@ class Eval:
         acc = EpochAccumulator()
 
         def padded(it):
+            # tails pad to the largest device-multiple batch size seen
+            # (weight-0 rows, results exactly unpadded) so every batch of a
+            # bucket shares one compiled shape — see Trainer._run_eval
+            target = 0
             for b in it:
-                b, true_b = pad_batch_to_multiple(b, n_devices)
+                n = next(iter(b.values())).shape[0]
+                target = max(target, -(-n // n_devices) * n_devices)
+                b, true_b = pad_batch_to_size(b, target)
                 # bit-plane wire format (see trainer): bytes are wall time
                 # on the tunnelled host->device path; widened in-graph
                 yield compress_batch_for_wire(b, vocab_size), true_b

@@ -4,6 +4,7 @@ from intrepppid_tpu.parallel.mesh import (
     put_global_batch,
     make_mesh,
     pad_batch_to_multiple,
+    pad_batch_to_size,
     replicated_sharding,
     shard_batch,
     stacked_batch_sharding,
@@ -18,4 +19,5 @@ __all__ = [
     "shard_batch",
     "stacked_batch_sharding",
     "pad_batch_to_multiple",
+    "pad_batch_to_size",
 ]

@@ -119,13 +119,29 @@ def pad_batch_to_multiple(batch: dict, multiple: int):
     ``weight`` of 0 (real rows 1), which the quintuplet step uses to mask
     them out of losses, gradients and metrics — padded multi-device
     results are exactly the unpadded ones."""
-    import numpy as np
-
     n = next(iter(batch.values())).shape[0]
     rem = n % multiple
     if rem == 0:
         return batch, n
-    pad = multiple - rem
+    return _pad_batch_rows(batch, n, multiple - rem), n
+
+
+def pad_batch_to_size(batch: dict, size: int):
+    """Pad the batch dim up to exactly ``size`` rows (same weight-0 masking
+    as :func:`pad_batch_to_multiple`); returns (padded_batch, true_size).
+    Used so split-tail / bucket-tail batches share the full batches'
+    compiled shape — a one-off tail shape costs a fresh executable per
+    bucket per stage on remote-compile platforms, and a same-shape tail
+    also joins the surrounding dispatch group instead of flushing it."""
+    n = next(iter(batch.values())).shape[0]
+    if n >= size:
+        return batch, n
+    return _pad_batch_rows(batch, n, size - n), n
+
+
+def _pad_batch_rows(batch: dict, n: int, pad: int) -> dict:
+    import numpy as np
+
     out = {}
     for k, v in batch.items():
         out[k] = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
@@ -137,4 +153,4 @@ def pad_batch_to_multiple(batch: dict, multiple: int):
     else:
         weight = np.concatenate([weight[:n], np.zeros(pad, weight.dtype)])
     out["weight"] = weight
-    return out, n
+    return out

@@ -44,7 +44,7 @@ from intrepppid_tpu.optim.factory import get_lr_schedule
 from intrepppid_tpu.parallel import (
     batch_sharding,
     make_mesh,
-    pad_batch_to_multiple,
+    pad_batch_to_size,
     put_global_batch,
     replicated_sharding,
     stacked_batch_sharding,
@@ -513,8 +513,17 @@ class Trainer:
         vocab = self.net.cfg.encoder.vocab_size
 
         def padded(it):
+            # tails pad to the largest device-multiple batch size seen, so
+            # every batch of a bucket shares one compiled shape and a tail
+            # joins the surrounding dispatch group instead of flushing it
+            # (pad rows are weight-0-masked — results exactly unpadded)
+            target = 0
             for b in it:
-                b, true_b = pad_batch_to_multiple(b, self.n_devices)
+                n = next(iter(b.values())).shape[0]
+                target = max(
+                    target, -(-n // self.n_devices) * self.n_devices
+                )
+                b, true_b = pad_batch_to_size(b, target)
                 yield compress_batch_for_wire(b, vocab), true_b
 
         if jax.process_count() > 1:
@@ -565,8 +574,15 @@ class Trainer:
             vocab = self.net.cfg.encoder.vocab_size
 
             def padded(it):
+                # same fixed-shape tail padding as _run_eval (weight-0
+                # rows: losses/grads/metrics are exactly the unpadded ones)
+                target = 0
                 for b in it:
-                    b, true_b = pad_batch_to_multiple(b, self.n_devices)
+                    n = next(iter(b.values())).shape[0]
+                    target = max(
+                        target, -(-n // self.n_devices) * self.n_devices
+                    )
+                    b, true_b = pad_batch_to_size(b, target)
                     yield compress_batch_for_wire(b, vocab), true_b
 
             sdata = stacked_batch_sharding(self.mesh)

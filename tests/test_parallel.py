@@ -103,6 +103,21 @@ def test_pad_batch_to_multiple(rng):
     assert n == 5 and same["p1"].shape[0] == 5
 
 
+def test_pad_batch_to_size(rng):
+    from intrepppid_tpu.parallel import pad_batch_to_size
+
+    batch = _batch(rng, 5)
+    padded, true_b = pad_batch_to_size(batch, 16)
+    assert true_b == 5
+    assert padded["p1"].shape[0] == 16
+    np.testing.assert_array_equal(padded["p1"][5:], np.tile(padded["p1"][4], (11, 1)))
+    np.testing.assert_array_equal(
+        padded["weight"], np.r_[np.ones(5), np.zeros(11)].astype(np.float32)
+    )
+    same, n = pad_batch_to_size(batch, 5)
+    assert n == 5 and same["p1"].shape[0] == 5 and "weight" not in same
+
+
 def test_dryrun_multichip_entrypoint():
     import sys
     from pathlib import Path
