@@ -79,7 +79,6 @@ class Eval:
         from intrepppid_tpu.parallel import (
             batch_sharding,
             make_mesh,
-            pad_batch_to_size,
             replicated_sharding,
         )
         from intrepppid_tpu.train.checkpoint import load_params_from_checkpoint
@@ -129,8 +128,8 @@ class Eval:
 
         from intrepppid_tpu.parallel import stacked_batch_sharding
         from intrepppid_tpu.train.trainer import (
-            compress_batch_for_wire,
             group_dispatch_batches,
+            padded_wire_batches,
             resolve_steps_per_dispatch,
             widen_batch,
         )
@@ -160,23 +159,11 @@ class Eval:
         }[split]()
         acc = EpochAccumulator()
 
-        def padded(it):
-            # tails pad to the largest device-multiple batch size seen
-            # (weight-0 rows, results exactly unpadded) so every batch of a
-            # bucket shares one compiled shape — see Trainer._run_eval
-            target = 0
-            for b in it:
-                n = next(iter(b.values())).shape[0]
-                target = max(target, -(-n // n_devices) * n_devices)
-                b, true_b = pad_batch_to_size(b, target)
-                # bit-plane wire format (see trainer): bytes are wall time
-                # on the tunnelled host->device path; widened in-graph
-                yield compress_batch_for_wire(b, vocab_size), true_b
-
         # K batches per dispatch, like Trainer: each dispatch is a runtime
-        # round trip (~45 ms tunnelled)
+        # round trip (~45 ms tunnelled); tails pad to the bucket's full
+        # compiled shape and compress to the bit-plane wire format
         K = resolve_steps_per_dispatch(steps_per_dispatch)
-        it = padded(batches)
+        it = padded_wire_batches(batches, n_devices, vocab_size)
         if K > 1:
             it = group_dispatch_batches(it, K)
         sdata = stacked_batch_sharding(mesh)

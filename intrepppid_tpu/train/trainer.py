@@ -118,6 +118,25 @@ def compress_batch_for_wire(
     return out
 
 
+def padded_wire_batches(it, n_devices: int, vocab_size: Optional[int]):
+    """Yield ``(wire_batch, true_rows)`` with fixed-shape tail padding.
+
+    Tails pad to the largest device-multiple batch size seen so far, so
+    every batch of a bucket shares one compiled shape — a one-off tail
+    shape costs a fresh executable per bucket per stage on remote-compile
+    platforms, and a same-shape tail also joins the surrounding dispatch
+    group instead of flushing it. Pad rows are weight-0-masked (see
+    ``pad_batch_to_size``): losses, grads and metrics are exactly the
+    unpadded ones. Batches then compress to the wire format
+    (``compress_batch_for_wire``)."""
+    target = 0
+    for b in it:
+        n = next(iter(b.values())).shape[0]
+        target = max(target, -(-n // n_devices) * n_devices)
+        b, true_b = pad_batch_to_size(b, target)
+        yield compress_batch_for_wire(b, vocab_size), true_b
+
+
 def _token_ref(batch: Dict[str, np.ndarray]) -> np.ndarray:
     """The p1 token array under either wire format."""
     return batch["p1"] if "p1" in batch else batch["p1@lo"]
@@ -513,18 +532,7 @@ class Trainer:
         vocab = self.net.cfg.encoder.vocab_size
 
         def padded(it):
-            # tails pad to the largest device-multiple batch size seen, so
-            # every batch of a bucket shares one compiled shape and a tail
-            # joins the surrounding dispatch group instead of flushing it
-            # (pad rows are weight-0-masked — results exactly unpadded)
-            target = 0
-            for b in it:
-                n = next(iter(b.values())).shape[0]
-                target = max(
-                    target, -(-n // self.n_devices) * self.n_devices
-                )
-                b, true_b = pad_batch_to_size(b, target)
-                yield compress_batch_for_wire(b, vocab), true_b
+            return padded_wire_batches(it, self.n_devices, vocab)
 
         if jax.process_count() > 1:
             for i, (batch, true_b) in enumerate(padded(batches)):
@@ -573,20 +581,10 @@ class Trainer:
 
             vocab = self.net.cfg.encoder.vocab_size
 
-            def padded(it):
-                # same fixed-shape tail padding as _run_eval (weight-0
-                # rows: losses/grads/metrics are exactly the unpadded ones)
-                target = 0
-                for b in it:
-                    n = next(iter(b.values())).shape[0]
-                    target = max(
-                        target, -(-n // self.n_devices) * self.n_devices
-                    )
-                    b, true_b = pad_batch_to_size(b, target)
-                    yield compress_batch_for_wire(b, vocab), true_b
-
             sdata = stacked_batch_sharding(self.mesh)
-            host_iter = padded(data_module.train_batches(epoch))
+            host_iter = padded_wire_batches(
+                data_module.train_batches(epoch), self.n_devices, vocab
+            )
             if self.steps_per_dispatch > 1:
                 host_iter = group_dispatch_batches(
                     host_iter, self.steps_per_dispatch
