@@ -21,6 +21,9 @@ launches x ~7us latency ~= 170 ms per encoder call, x5 calls + ~2x backward
 A100 run of the reference is available.
 """
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -36,7 +39,62 @@ TRUNC = 1500
 VOCAB = 250
 
 
+def wait_for_device(budget_s: float) -> bool:
+    """Bounded wait for the TPU tunnel before importing jax.
+
+    The round-3 bench artifact was rc=1 solely because the tunnelled axon
+    backend was down at the minute the driver ran this script (outages are
+    measured in hours; `import jax` then either hangs dialing the pool or
+    raises "Unable to initialize backend"). Probe with short-lived
+    subprocesses — the parent must not import jax before a probe succeeds,
+    because the failed dial blocks indefinitely in-process — and retry
+    until the budget runs out. Skipped entirely for explicit-CPU runs.
+    """
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return True
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True  # no tunnel in play; jax import is safe
+    probe = [
+        sys.executable,
+        "-c",
+        "import jax; d = jax.devices(); "
+        "raise SystemExit(0 if d and d[0].platform != 'cpu' else 3)",
+    ]
+    deadline = time.monotonic() + budget_s
+    while True:
+        try:
+            rc = subprocess.run(
+                probe,
+                timeout=150,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            return True
+        if time.monotonic() >= deadline:
+            return False
+        print(
+            f"bench: TPU tunnel not answering (probe rc={rc}); retrying "
+            f"for up to {int(deadline - time.monotonic())}s more",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(min(60, max(1, deadline - time.monotonic())))
+
+
 def main():
+    budget = float(os.environ.get("INTREPPPID_TPU_BENCH_WAIT_S", "1500"))
+    if not wait_for_device(budget):
+        print(
+            "bench: no TPU device after bounded wait "
+            f"({budget:.0f}s) — tunnel outage; rerun when it answers",
+            file=sys.stderr,
+            flush=True,
+        )
+        raise SystemExit(2)
+
     import jax
     import jax.numpy as jnp
     import optax
