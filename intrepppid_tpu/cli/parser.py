@@ -76,7 +76,9 @@ def add_function_parser(subparsers, name: str, fn: Callable) -> None:
     except Exception:
         hints = {}
     for pname, param in sig.parameters.items():
-        if pname == "self":
+        if pname == "self" or pname.startswith("_"):
+            # underscore params are internal (e.g. Serve.start(_block=...)
+            # used by tests) — not part of the CLI surface
             continue
         conv = _converter(hints.get(pname, param.annotation))
         required = param.default is inspect.Parameter.empty

@@ -1,0 +1,88 @@
+"""Serving CLI: ``intrepppid_tpu serve start`` — an online PPI scoring
+server (added capability; the reference ships only the offline
+``infer from_csv`` batch path, `intrepppid/cli/infer.py:92-232`).
+
+Loads one checkpoint + SentencePiece model resident and answers
+``POST /score`` requests with pair probabilities — see
+:mod:`intrepppid_tpu.serve` for the engine/endpoint contract. Model-shape
+flags and checkpoint handling mirror the infer CLI: the network is always
+built with ``use_projection=True`` (reference quirk, Appendix A #10,
+`cli/infer.py:170`) and ``weights_path`` may be an orbax checkpoint dir or
+a reference PyTorch ``.ckpt`` (auto-converted)."""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+
+class Serve:
+    @staticmethod
+    def start(
+        weights_path: Path,
+        spm_path: Path,
+        host: str = "127.0.0.1",
+        port: int = 8000,
+        trunc_len: int = 1500,
+        batch_size: int = 16,
+        sampling: bool = False,
+        vocab_size: int = 250,
+        embedding_size: int = 64,
+        rnn_num_layers: int = 2,
+        bi_reduce: str = "last",
+        max_pairs: int = 4096,
+        warmup: bool = True,
+        token_cache_size: int = 65536,
+        _block: bool = True,
+    ):
+        """Start the scoring server (blocks; Ctrl-C to stop).
+
+        ``--warmup`` (default on) scores one dummy full-batch at the
+        largest length bucket before listening, so the first real request
+        doesn't pay the compile (minutes on remote-compile platforms —
+        the persistent compilation cache makes later restarts cheap).
+        """
+        from intrepppid_tpu.utils.jax_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+
+        from intrepppid_tpu.cli.infer import _load_params
+        from intrepppid_tpu.data.tokenizer import SentencePieceTokenizer
+        from intrepppid_tpu.models.factory import intrepppid_network
+        from intrepppid_tpu.serve import PPIServer, ScoringEngine
+
+        spp = SentencePieceTokenizer(spm_path)
+        spp.validate_vocab_size(vocab_size)
+        net = intrepppid_network(
+            0,
+            vocab_size=vocab_size,
+            embedding_size=embedding_size,
+            rnn_num_layers=rnn_num_layers,
+            bi_reduce=bi_reduce,
+            use_projection=True,
+        )
+        params = _load_params(weights_path, net)
+        engine = ScoringEngine(
+            net,
+            params,
+            spp,
+            trunc_len=trunc_len,
+            batch_size=batch_size,
+            sampling=sampling,
+            token_cache_size=token_cache_size,
+        )
+        if warmup:
+            engine.warmup()
+        server = PPIServer(
+            engine, host=host, port=port, max_pairs=max_pairs
+        )
+        print(
+            f"intrepppid_tpu serving on http://{host}:{server.server_address[1]} "
+            f"(POST /score, GET /healthz)",
+            flush=True,
+        )
+        if _block:
+            try:
+                server.serve_forever()
+            except KeyboardInterrupt:
+                server.shutdown()
+        return server

@@ -1,0 +1,4 @@
+from intrepppid_tpu.serve.engine import ScoringEngine
+from intrepppid_tpu.serve.server import PPIServer
+
+__all__ = ["ScoringEngine", "PPIServer"]

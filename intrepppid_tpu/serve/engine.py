@@ -1,0 +1,170 @@
+"""Online scoring engine: pairs of protein sequences -> probabilities.
+
+The reference has no serving path at all — its closest surface is the
+batch `infer from_csv` CLI (`intrepppid/cli/infer.py:92-232`), which scores
+one CSV offline. This engine is the added production-serving capability:
+it holds one loaded network + tokenizer resident and scores arbitrary
+request-time pairs with the same device-efficiency machinery the batch
+paths use —
+
+* deterministic tokenization through the native engine (exactly
+  ``static_encode`` semantics, `intrepppid/data/ppi_oma.py:347-392`, with
+  subword sampling off — the reference's always-on inference sampling is
+  Appendix-A quirk #11, opt back in with ``sampling=True``),
+* an LRU token cache keyed on the raw sequence (proteome workloads re-score
+  the same proteins against many partners; tokenization is the host hot
+  loop),
+* length bucketing + fixed-shape batch padding so every dispatch reuses a
+  compiled executable (a fresh shape costs a full compile — minutes on
+  remote-compile platforms),
+* the bit-plane wire format and in-graph sigmoid (one device dispatch per
+  batch end-to-end; tunnelled transfers move ~30 MB/s, so wire bytes are
+  wall time),
+* all chunk dispatches of a request are enqueued before any result is
+  materialized, so host tokenization of chunk i+1 overlaps device compute
+  of chunk i.
+
+Thread-safe: requests serialize on an internal lock (one device stream;
+concurrent HTTP handlers queue here).
+"""
+from __future__ import annotations
+
+import threading
+from collections import OrderedDict
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+
+class ScoringEngine:
+    def __init__(
+        self,
+        net,
+        params,
+        tokenizer,
+        *,
+        trunc_len: int = 1500,
+        batch_size: int = 16,
+        sampling: bool = False,
+        token_cache_size: int = 65536,
+    ):
+        import jax
+
+        from intrepppid_tpu.data.ppi_oma import default_buckets
+        from intrepppid_tpu.train.trainer import (
+            compress_batch_for_wire,
+            widen_batch,
+        )
+
+        self.net = net
+        self.params = params
+        self.spp = tokenizer
+        self.trunc_len = int(trunc_len)
+        self.batch_size = int(batch_size)
+        self.sampling = bool(sampling)
+        self.buckets = default_buckets(self.trunc_len)
+        self._compress = compress_batch_for_wire
+        self._vocab = net.cfg.encoder.vocab_size
+
+        def _probs_wire(wire):
+            b = widen_batch(wire)
+            return jax.nn.sigmoid(
+                net.forward(params, b["p1"], b["p2"], train=False)
+            )
+
+        self._probs = jax.jit(_probs_wire)
+        self._lock = threading.Lock()
+        # raw sequence -> (trunc_len,) int32 token row; only valid for the
+        # deterministic path (sampling re-draws per call by contract)
+        self._cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._cache_cap = int(token_cache_size)
+
+    # ------------------------------------------------------------ tokenize
+    def _encode_many(self, seqs: Sequence[str]) -> List[np.ndarray]:
+        """Token rows for ``seqs`` (each ``(trunc_len,)`` int32), via the
+        LRU cache; misses batch through the native engine when available."""
+        if self.sampling:
+            # sampling draws fresh subwords per call — never cache
+            rows = self.spp.encode_batch_padded(
+                list(seqs), self.trunc_len, enable_sampling=True
+            )
+            return [rows[i] for i in range(len(seqs))]
+        out: List[np.ndarray] = [None] * len(seqs)  # type: ignore[list-item]
+        miss_idx: List[int] = []
+        miss_seq: List[str] = []
+        pending: dict = {}
+        for i, s in enumerate(seqs):
+            hit = self._cache.get(s)
+            if hit is not None:
+                self._cache.move_to_end(s)
+                out[i] = hit
+            elif s in pending:
+                pending[s].append(i)
+            else:
+                pending[s] = [i]
+                miss_idx.append(i)
+                miss_seq.append(s)
+        if miss_seq:
+            rows = self.spp.encode_batch_padded(miss_seq, self.trunc_len)
+            for s, row in zip(miss_seq, rows):
+                row = np.asarray(row, np.int32)
+                for i in pending[s]:
+                    out[i] = row
+                self._cache[s] = row
+            while len(self._cache) > self._cache_cap:
+                self._cache.popitem(last=False)
+        return out
+
+    # -------------------------------------------------------------- warmup
+    def warmup(self) -> None:
+        """Compile the worst-case dispatch shape (full batch at the top
+        length bucket — the shape every request can fall back to) before
+        serving, so no request pays the first compile. Synthetic full-length
+        token rows force the top bucket regardless of how the tokenizer
+        merges a real sequence."""
+        row = np.ones((self.trunc_len,), np.int32)
+        xa = np.tile(row, (self.batch_size, 1))
+        wire = self._compress({"p1": xa, "p2": xa.copy()}, self._vocab)
+        np.asarray(self._probs(wire))
+
+    # --------------------------------------------------------------- score
+    def score_pairs(self, pairs: Sequence[Tuple[str, str]]) -> np.ndarray:
+        """Probabilities for ``[(seq_a, seq_b), ...]`` — float32, one per
+        pair, in input order. Empty input returns an empty array."""
+        if not pairs:
+            return np.zeros((0,), np.float32)
+        with self._lock:
+            flat: List[str] = []
+            for a, b in pairs:
+                flat.append(a)
+                flat.append(b)
+            rows = self._encode_many(flat)
+            in_flight = []  # (device_probs, true_rows)
+            B = self.batch_size
+            for lo in range(0, len(pairs), B):
+                chunk = rows[2 * lo : 2 * (lo + B)]
+                xa = np.stack(chunk[0::2])
+                xb = np.stack(chunk[1::2])
+                maxlen = max(
+                    1,
+                    int(np.max(np.sum(xa != 0, axis=1))),
+                    int(np.max(np.sum(xb != 0, axis=1))),
+                )
+                T = next(
+                    (t for t in self.buckets if maxlen <= t), self.trunc_len
+                )
+                xa, xb = xa[:, :T], xb[:, :T]
+                true = xa.shape[0]
+                if true < B:
+                    # repeat-pad to the one compiled batch shape; pad rows'
+                    # outputs are sliced off below
+                    pad = B - true
+                    xa = np.concatenate([xa, np.repeat(xa[-1:], pad, 0)])
+                    xb = np.concatenate([xb, np.repeat(xb[-1:], pad, 0)])
+                wire = self._compress({"p1": xa, "p2": xb}, self._vocab)
+                in_flight.append((self._probs(wire), true))
+            parts = [
+                np.asarray(dev, np.float32).reshape(-1)[:true]
+                for dev, true in in_flight
+            ]
+        return np.concatenate(parts)

@@ -1,0 +1,123 @@
+"""Stdlib HTTP front end for :class:`~intrepppid_tpu.serve.engine.ScoringEngine`.
+
+Zero extra dependencies (``http.server`` only — this image must not grow
+packages). Endpoints:
+
+* ``GET /healthz`` — liveness + model manifest
+  (``{"status": "ok", "model": {...}}``).
+* ``POST /score`` — body ``{"pairs": [[seq_a, seq_b], ...]}`` or
+  ``{"pairs": [{"seq_a": ..., "seq_b": ..., "id": ...}, ...]}``; returns
+  ``{"probabilities": [...]}`` in input order, plus ``"ids"`` when the
+  dict form carried them. Malformed requests get a 400 with
+  ``{"error": ...}``; oversized ones (> ``max_pairs``) a 413.
+
+Handlers run on threads (``ThreadingHTTPServer``); the engine serializes
+device access internally, so concurrent requests queue on its lock rather
+than interleaving dispatches.
+"""
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional, Tuple
+
+
+def _parse_pairs(payload) -> Tuple[List[Tuple[str, str]], Optional[list]]:
+    if not isinstance(payload, dict) or "pairs" not in payload:
+        raise ValueError('body must be a JSON object with a "pairs" list')
+    raw = payload["pairs"]
+    if not isinstance(raw, list) or not raw:
+        raise ValueError('"pairs" must be a non-empty list')
+    pairs: List[Tuple[str, str]] = []
+    ids: list = []
+    saw_id = False
+    for item in raw:
+        if isinstance(item, dict):
+            a, b = item.get("seq_a"), item.get("seq_b")
+            if "id" in item:
+                saw_id = True
+            ids.append(item.get("id"))
+        elif isinstance(item, (list, tuple)) and len(item) == 2:
+            a, b = item
+            ids.append(None)
+        else:
+            raise ValueError(
+                "each pair must be [seq_a, seq_b] or "
+                '{"seq_a": ..., "seq_b": ...}'
+            )
+        if not isinstance(a, str) or not isinstance(b, str) or not a or not b:
+            raise ValueError("seq_a and seq_b must be non-empty strings")
+        pairs.append((a, b))
+    return pairs, (ids if saw_id else None)
+
+
+class PPIServer(ThreadingHTTPServer):
+    daemon_threads = True
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 8000,
+                 max_pairs: int = 4096, quiet: bool = False):
+        self.engine = engine
+        self.max_pairs = int(max_pairs)
+        self.quiet = quiet
+        super().__init__((host, port), _Handler)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server: PPIServer
+
+    def _send_json(self, code: int, obj) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt, *args):  # noqa: N802
+        if not self.server.quiet:
+            super().log_message(fmt, *args)
+
+    def do_GET(self):  # noqa: N802
+        if self.path != "/healthz":
+            self._send_json(404, {"error": "not found"})
+            return
+        eng = self.server.engine
+        cfg = eng.net.cfg.encoder
+        self._send_json(
+            200,
+            {
+                "status": "ok",
+                "model": {
+                    "vocab_size": cfg.vocab_size,
+                    "embedding_size": cfg.embedding_size,
+                    "rnn_num_layers": cfg.rnn_num_layers,
+                    "bi_reduce": cfg.bi_reduce,
+                    "trunc_len": eng.trunc_len,
+                    "batch_size": eng.batch_size,
+                    "sampling": eng.sampling,
+                },
+            },
+        )
+
+    def do_POST(self):  # noqa: N802
+        if self.path != "/score":
+            self._send_json(404, {"error": "not found"})
+            return
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            payload = json.loads(self.rfile.read(n) or b"{}")
+            pairs, ids = _parse_pairs(payload)
+        except (ValueError, json.JSONDecodeError) as e:
+            self._send_json(400, {"error": str(e)})
+            return
+        if len(pairs) > self.server.max_pairs:
+            self._send_json(
+                413,
+                {"error": f"too many pairs (max {self.server.max_pairs})"},
+            )
+            return
+        probs = self.server.engine.score_pairs(pairs)
+        out = {"probabilities": [float(p) for p in probs]}
+        if ids is not None:
+            out["ids"] = ids
+        self._send_json(200, out)

@@ -1,0 +1,238 @@
+"""Serving layer (added capability — the reference ships only the offline
+``infer from_csv`` batch path, `intrepppid/cli/infer.py:92-232`): engine
+parity with direct forwards, token-cache determinism, HTTP endpoints, CLI.
+"""
+import json
+import subprocess
+import sys
+import threading
+import urllib.error
+import urllib.request
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+TRUNC = 200  # default_buckets(200) == [128, 200]: a real bucket ladder
+VOCAB = 38
+EMBED = 16
+AAS = "ACDEFGHIKLMNPQRSTVWY"
+
+
+@pytest.fixture(scope="module")
+def fixtures():
+    if not (FIXTURES / "learnable.h5").exists():
+        subprocess.run(
+            [sys.executable, str(FIXTURES / "make_fixtures.py")], check=True
+        )
+    return FIXTURES
+
+
+def _mk_seq(rng, n):
+    return "".join(rng.choice(list(AAS)) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def served(fixtures):
+    import jax
+
+    from intrepppid_tpu.data.tokenizer import SentencePieceTokenizer
+    from intrepppid_tpu.models.factory import intrepppid_network
+    from intrepppid_tpu.serve import ScoringEngine
+
+    net = intrepppid_network(
+        0, vocab_size=VOCAB, embedding_size=EMBED, rnn_num_layers=2,
+        use_projection=True,
+    )
+    params = net.init(jax.random.PRNGKey(3))
+    spp = SentencePieceTokenizer(fixtures / "tiny_spm.model")
+    engine = ScoringEngine(
+        net, params, spp, trunc_len=TRUNC, batch_size=4
+    )
+    return net, params, spp, engine
+
+
+def test_engine_matches_direct_forward(served):
+    """Bucketed/chunked/tail-padded engine output == one direct forward at
+    the full window (the model is pad-invariant by masked-scan design)."""
+    import jax
+    import jax.numpy as jnp
+
+    from intrepppid_tpu.data.ppi_oma import IntrepppidDataset
+
+    net, params, spp, engine = served
+    rng = np.random.default_rng(0)
+    # 5 pairs across a batch_size of 4: two chunks, a repeat-padded tail,
+    # and both buckets (short pairs -> 128, the long pair -> 200)
+    pairs = [
+        (_mk_seq(rng, 10), _mk_seq(rng, 30)),
+        (_mk_seq(rng, 45), _mk_seq(rng, 7)),
+        (_mk_seq(rng, 20), _mk_seq(rng, 20)),
+        (_mk_seq(rng, 60), _mk_seq(rng, 5)),
+        (_mk_seq(rng, 190), _mk_seq(rng, 150)),
+    ]
+    probs = engine.score_pairs(pairs)
+    assert probs.shape == (5,) and probs.dtype == np.float32
+    assert np.all((probs > 0) & (probs < 1))
+
+    xa = np.stack(
+        [
+            IntrepppidDataset.static_encode(TRUNC, spp, a, sampling=False)
+            for a, _ in pairs
+        ]
+    )
+    xb = np.stack(
+        [
+            IntrepppidDataset.static_encode(TRUNC, spp, b, sampling=False)
+            for _, b in pairs
+        ]
+    )
+    logits = net.forward(
+        params, jnp.asarray(xa, jnp.int32), jnp.asarray(xb, jnp.int32),
+        train=False,
+    )
+    expected = np.asarray(jax.nn.sigmoid(logits), np.float32).reshape(-1)
+    np.testing.assert_allclose(probs, expected, rtol=2e-5, atol=2e-6)
+
+
+def test_engine_cache_determinism(served):
+    """Second scoring of the same pairs rides the token cache and is
+    bitwise-identical; swapped pair order gives the symmetric head's
+    identical probability."""
+    _, _, _, engine = served
+    rng = np.random.default_rng(7)
+    pairs = [(_mk_seq(rng, 25), _mk_seq(rng, 40)) for _ in range(3)]
+    p1 = engine.score_pairs(pairs)
+    p2 = engine.score_pairs(pairs)
+    np.testing.assert_array_equal(p1, p2)
+    swapped = engine.score_pairs([(b, a) for a, b in pairs])
+    np.testing.assert_allclose(p1, swapped, rtol=1e-6)
+    assert engine.score_pairs([]).shape == (0,)
+
+
+def test_engine_warmup(served):
+    _, _, _, engine = served
+    engine.warmup()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_http_server(served):
+    from intrepppid_tpu.serve import PPIServer
+
+    _, _, _, engine = served
+    server = PPIServer(engine, host="127.0.0.1", port=0, quiet=True)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz") as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok"
+        assert health["model"]["vocab_size"] == VOCAB
+        assert health["model"]["trunc_len"] == TRUNC
+
+        rng = np.random.default_rng(11)
+        a1, b1 = _mk_seq(rng, 15), _mk_seq(rng, 35)
+        a2, b2 = _mk_seq(rng, 50), _mk_seq(rng, 8)
+        # list form
+        st, out = _post(f"{base}/score", {"pairs": [[a1, b1], [a2, b2]]})
+        assert st == 200
+        expected = engine.score_pairs([(a1, b1), (a2, b2)])
+        np.testing.assert_allclose(out["probabilities"], expected, rtol=1e-6)
+        assert "ids" not in out
+        # dict form with ids
+        st, out = _post(
+            f"{base}/score",
+            {"pairs": [
+                {"seq_a": a1, "seq_b": b1, "id": "x1"},
+                {"seq_a": a2, "seq_b": b2, "id": "x2"},
+            ]},
+        )
+        assert st == 200 and out["ids"] == ["x1", "x2"]
+        np.testing.assert_allclose(out["probabilities"], expected, rtol=1e-6)
+
+        # malformed -> 400 with an error body
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"{base}/score", {"pairs": [["only_one"]]})
+        assert ei.value.code == 400
+        assert "error" in json.loads(ei.value.read())
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"{base}/score", {"nope": 1})
+        assert ei.value.code == 400
+        # unknown path -> 404
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{base}/nothing")
+        assert ei.value.code == 404
+    finally:
+        server.shutdown()
+        server.server_close()
+        t.join(timeout=10)
+
+
+def test_serve_cli_end_to_end(served, fixtures, tmp_path):
+    """``serve start`` on a saved orbax checkpoint answers requests with
+    the same probabilities as the engine built from the live params."""
+    from intrepppid_tpu.cli.serve import Serve
+    from intrepppid_tpu.train.checkpoint import CheckpointManager
+
+    net, params, _, engine = served
+    mgr = CheckpointManager(tmp_path / "chkpt", "servetest")
+    ckpt = mgr.save({"params": params}, epoch=0, val_loss=1.0)
+
+    server = Serve.start(
+        weights_path=ckpt,
+        spm_path=fixtures / "tiny_spm.model",
+        host="127.0.0.1",
+        port=0,
+        trunc_len=TRUNC,
+        batch_size=4,
+        vocab_size=VOCAB,
+        embedding_size=EMBED,
+        warmup=False,
+        _block=False,
+    )
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.default_rng(5)
+        pairs = [(_mk_seq(rng, 30), _mk_seq(rng, 12))]
+        st, out = _post(
+            f"http://127.0.0.1:{port}/score", {"pairs": [list(pairs[0])]}
+        )
+        assert st == 200
+        np.testing.assert_allclose(
+            out["probabilities"], engine.score_pairs(pairs), rtol=1e-6
+        )
+    finally:
+        server.shutdown()
+        server.server_close()
+        t.join(timeout=10)
+
+
+def test_serve_cli_help_surface():
+    """The dispatcher exposes serve start flags but not internal params."""
+    import io
+    from contextlib import redirect_stdout
+
+    from intrepppid_tpu.__main__ import main
+
+    buf = io.StringIO()
+    with pytest.raises(SystemExit), redirect_stdout(buf):
+        main(["serve", "start", "--help"])
+    text = buf.getvalue()
+    assert "--weights_path" in text and "--warmup" in text
+    assert "_block" not in text
