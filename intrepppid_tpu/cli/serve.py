@@ -31,6 +31,8 @@ class Serve:
         bi_reduce: str = "last",
         max_pairs: int = 4096,
         warmup: bool = True,
+        coalesce: bool = True,
+        sequences_path: Optional[Path] = None,
         token_cache_size: int = 65536,
         _block: bool = True,
     ):
@@ -40,6 +42,10 @@ class Serve:
         largest length bucket before listening, so the first real request
         doesn't pay the compile (minutes on remote-compile platforms —
         the persistent compilation cache makes later restarts cheap).
+        ``--coalesce`` (default on) merges concurrent requests into shared
+        device dispatches. ``--sequences_path`` pre-tokenizes a FASTA
+        (e.g. the serving proteome) into the token cache so request-time
+        encoding is a pure cache hit.
         """
         from intrepppid_tpu.utils.jax_cache import enable_compilation_cache
 
@@ -70,10 +76,16 @@ class Serve:
             sampling=sampling,
             token_cache_size=token_cache_size,
         )
+        if sequences_path is not None:
+            from intrepppid_tpu.cli.infer import stream_fasta
+
+            n = engine.preload(stream_fasta(sequences_path))
+            print(f"preloaded {n} sequences into the token cache", flush=True)
         if warmup:
             engine.warmup()
         server = PPIServer(
-            engine, host=host, port=port, max_pairs=max_pairs
+            engine, host=host, port=port, max_pairs=max_pairs,
+            coalesce=coalesce,
         )
         print(
             f"intrepppid_tpu serving on http://{host}:{server.server_address[1]} "

@@ -115,6 +115,35 @@ class ScoringEngine:
                 self._cache.popitem(last=False)
         return out
 
+    # ------------------------------------------------------------- preload
+    def preload(self, named_seqs) -> int:
+        """Warm the token cache from a ``(name, sequence)`` iterable (e.g.
+        a proteome FASTA via ``stream_fasta``) so request-time tokenization
+        is a pure cache hit; returns the number of sequences cached. A
+        no-op under ``sampling`` (sampled draws are never cached). Entries
+        beyond the cache capacity evict oldest-first like any other
+        insert."""
+        if self.sampling:
+            return 0
+        n = 0
+        CHUNK = 1024
+        buf: List[str] = []
+
+        def flush():
+            nonlocal n
+            if not buf:
+                return
+            self._encode_many(buf)
+            n += len(buf)
+            buf.clear()
+
+        for _, seq in named_seqs:
+            buf.append(seq)
+            if len(buf) >= CHUNK:
+                flush()
+        flush()
+        return n
+
     # -------------------------------------------------------------- warmup
     def warmup(self) -> None:
         """Compile the worst-case dispatch shape (full batch at the top

@@ -11,9 +11,10 @@ packages). Endpoints:
   dict form carried them. Malformed requests get a 400 with
   ``{"error": ...}``; oversized ones (> ``max_pairs``) a 413.
 
-Handlers run on threads (``ThreadingHTTPServer``); the engine serializes
-device access internally, so concurrent requests queue on its lock rather
-than interleaving dispatches.
+Handlers run on threads (``ThreadingHTTPServer``). With ``coalesce=True``
+(the default) concurrent requests merge into shared device dispatches via
+:class:`~intrepppid_tpu.serve.coalesce.CoalescingScorer`; otherwise each
+handler calls the engine directly and requests serialize on its lock.
 """
 from __future__ import annotations
 
@@ -55,11 +56,30 @@ class PPIServer(ThreadingHTTPServer):
     daemon_threads = True
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 8000,
-                 max_pairs: int = 4096, quiet: bool = False):
+                 max_pairs: int = 4096, quiet: bool = False,
+                 coalesce: bool = True):
         self.engine = engine
         self.max_pairs = int(max_pairs)
         self.quiet = quiet
+        self._scorer = None
+        if coalesce:
+            from intrepppid_tpu.serve.coalesce import CoalescingScorer
+
+            self._scorer = CoalescingScorer(
+                engine, max_pairs_per_dispatch=self.max_pairs
+            )
         super().__init__((host, port), _Handler)
+
+    def score(self, pairs):
+        if self._scorer is not None:
+            return self._scorer.submit(pairs)
+        return self.engine.score_pairs(pairs)
+
+    def server_close(self):
+        if self._scorer is not None:
+            self._scorer.close()
+            self._scorer = None
+        super().server_close()
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -116,7 +136,7 @@ class _Handler(BaseHTTPRequestHandler):
                 {"error": f"too many pairs (max {self.server.max_pairs})"},
             )
             return
-        probs = self.server.engine.score_pairs(pairs)
+        probs = self.server.score(pairs)
         out = {"probabilities": [float(p) for p in probs]}
         if ids is not None:
             out["ids"] = ids

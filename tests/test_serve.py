@@ -117,6 +117,144 @@ def test_engine_warmup(served):
     engine.warmup()
 
 
+class _GatedEngine:
+    """Engine proxy whose FIRST score_pairs call blocks on a gate —
+    requests submitted meanwhile must coalesce into the next call."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.calls = []
+        self.gate = threading.Event()
+        self.first_entered = threading.Event()
+
+    def score_pairs(self, pairs):
+        self.calls.append(list(pairs))
+        if len(self.calls) == 1:
+            self.first_entered.set()
+            assert self.gate.wait(timeout=30)
+        return self.inner.score_pairs(pairs)
+
+
+def test_coalescing_scorer_merges_concurrent_requests(served):
+    import time
+
+    from intrepppid_tpu.serve import CoalescingScorer
+
+    _, _, _, engine = served
+    gated = _GatedEngine(engine)
+    scorer = CoalescingScorer(gated)
+    rng = np.random.default_rng(21)
+    first = [(_mk_seq(rng, 12), _mk_seq(rng, 18))]
+    waiting = [
+        [(_mk_seq(rng, 10 + i), _mk_seq(rng, 22 - i))] for i in range(3)
+    ]
+    try:
+        results = {}
+
+        def run(key, pairs):
+            results[key] = scorer.submit(pairs)
+
+        t0 = threading.Thread(target=run, args=("first", first))
+        t0.start()
+        assert gated.first_entered.wait(timeout=30)
+        ts = [
+            threading.Thread(target=run, args=(i, p))
+            for i, p in enumerate(waiting)
+        ]
+        for t in ts:
+            t.start()
+        # wait until all three are queued behind the in-flight dispatch
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            with scorer._cv:
+                if len(scorer._queue) == 3:
+                    break
+            time.sleep(0.01)
+        gated.gate.set()
+        t0.join(timeout=30)
+        for t in ts:
+            t.join(timeout=30)
+        # one dispatch for the first request, ONE shared dispatch for the
+        # three that queued behind it
+        assert [len(c) for c in gated.calls] == [1, 3]
+        np.testing.assert_array_equal(
+            results["first"], engine.score_pairs(first)
+        )
+        # coalesced pairs ride a different batch composition than scoring
+        # each alone — equal up to float reassociation, not bitwise
+        for i, p in enumerate(waiting):
+            np.testing.assert_allclose(
+                results[i], engine.score_pairs(p), rtol=1e-5, atol=1e-6
+            )
+    finally:
+        gated.gate.set()
+        scorer.close()
+
+
+def test_coalescing_scorer_error_propagates(served):
+    from intrepppid_tpu.serve import CoalescingScorer
+
+    _, _, _, engine = served
+
+    class Flaky:
+        def __init__(self):
+            self.fail_next = True
+
+        def score_pairs(self, pairs):
+            if self.fail_next:
+                self.fail_next = False
+                raise RuntimeError("boom")
+            return engine.score_pairs(pairs)
+
+    scorer = CoalescingScorer(Flaky())
+    rng = np.random.default_rng(23)
+    pairs = [(_mk_seq(rng, 14), _mk_seq(rng, 9))]
+    try:
+        with pytest.raises(RuntimeError, match="boom"):
+            scorer.submit(pairs)
+        # the worker survives an engine error and serves the next request
+        np.testing.assert_array_equal(
+            scorer.submit(pairs), engine.score_pairs(pairs)
+        )
+        assert scorer.submit([]).shape == (0,)
+    finally:
+        scorer.close()
+
+
+def test_engine_preload(served, fixtures):
+    """Preloaded sequences make request-time tokenization a pure cache
+    hit (the tokenizer is never called again for them)."""
+    import jax
+
+    from intrepppid_tpu.data.tokenizer import SentencePieceTokenizer
+    from intrepppid_tpu.models.factory import intrepppid_network
+    from intrepppid_tpu.serve import ScoringEngine
+
+    net, params, _, engine = served
+
+    class CountingTok:
+        def __init__(self, spp):
+            self._spp = spp
+            self.n_calls = 0
+
+        def encode_batch_padded(self, *a, **k):
+            self.n_calls += 1
+            return self._spp.encode_batch_padded(*a, **k)
+
+    tok = CountingTok(SentencePieceTokenizer(fixtures / "tiny_spm.model"))
+    eng = ScoringEngine(net, params, tok, trunc_len=TRUNC, batch_size=4)
+    rng = np.random.default_rng(31)
+    seqs = [_mk_seq(rng, 20 + i) for i in range(6)]
+    n = eng.preload((f"s{i}", s) for i, s in enumerate(seqs))
+    assert n == 6
+    calls_after_preload = tok.n_calls
+    probs = eng.score_pairs([(seqs[0], seqs[1]), (seqs[2], seqs[3])])
+    assert tok.n_calls == calls_after_preload  # pure cache hits
+    np.testing.assert_array_equal(
+        probs, engine.score_pairs([(seqs[0], seqs[1]), (seqs[2], seqs[3])])
+    )
+
+
 def _post(url, payload):
     req = urllib.request.Request(
         url,
