@@ -1,0 +1,149 @@
+"""Serving-path throughput: pairs/s through the engine and the HTTP stack.
+
+Measures the online scoring surface (`intrepppid_tpu/serve/`) at the
+manuscript model shape with synthetic sequences:
+
+1. **engine-direct**: `ScoringEngine.score_pairs` on pre-tokenized-cache
+   misses and hits (the resident-server steady state),
+2. **HTTP, concurrent clients**: N threads POSTing small requests against
+   a live `PPIServer` with coalescing on — the continuous-batching
+   steady state, where the effective batch self-tunes to the arrival
+   rate.
+
+Serving dispatches are eval forwards (no grad, no optimizer); on
+tunnelled platforms the ~45 ms per-dispatch runtime overhead dominates a
+small-batch forward, which is exactly what coalescing amortises.
+
+Usage: python tools/bench_serve.py  (on the TPU; INTREPPPID_SERVE_SMOKE=1
+shrinks shapes for a CPU pre-flight)
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np
+
+_SMOKE = os.environ.get("INTREPPPID_SERVE_SMOKE") == "1"
+TRUNC = 64 if _SMOKE else 1500
+VOCAB = 250
+EMBED = 16 if _SMOKE else 64
+BATCH = 4 if _SMOKE else 64
+N_PAIRS = 32 if _SMOKE else 512
+N_CLIENTS = 4 if _SMOKE else 8
+AAS = "ACDEFGHIKLMNPQRSTVWY"
+
+
+def _mk_seqs(rng, n, lo, hi):
+    return [
+        "".join(rng.choice(list(AAS)) for _ in range(rng.integers(lo, hi)))
+        for _ in range(n)
+    ]
+
+
+def main():
+    import jax
+
+    from intrepppid_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from intrepppid_tpu.data.tokenizer import SentencePieceTokenizer
+    from intrepppid_tpu.models.factory import intrepppid_network
+    from intrepppid_tpu.serve import PPIServer, ScoringEngine
+
+    spm = Path(__file__).parent.parent / "tests" / "fixtures" / "golden_spm.model"
+    spp = SentencePieceTokenizer(spm)
+    net = intrepppid_network(
+        0, vocab_size=VOCAB, embedding_size=EMBED, use_projection=True
+    )
+    params = net.init(jax.random.PRNGKey(0))
+    engine = ScoringEngine(
+        net, params, spp, trunc_len=TRUNC, batch_size=BATCH
+    )
+    rng = np.random.default_rng(0)
+    lo, hi = (20, 60) if _SMOKE else (200, 2 * TRUNC)
+    seqs = _mk_seqs(rng, 256, lo, hi)
+    pairs = [
+        (seqs[rng.integers(len(seqs))], seqs[rng.integers(len(seqs))])
+        for _ in range(N_PAIRS)
+    ]
+
+    print(f"warmup (compile, batch {BATCH}, T={TRUNC})...", flush=True)
+    t0 = time.perf_counter()
+    engine.warmup()
+    print(f"  {time.perf_counter() - t0:.1f} s", flush=True)
+
+    # --- engine-direct (first pass fills the token cache, second is hits)
+    for tag in ("cache-miss", "cache-hit"):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            engine.score_pairs(pairs)
+            best = min(best, time.perf_counter() - t0)
+            if tag == "cache-miss":
+                break  # misses only exist once
+        print(f"engine-direct [{tag}]: {N_PAIRS / best:.0f} pairs/s "
+              f"({best * 1e3:.0f} ms / {N_PAIRS} pairs)", flush=True)
+
+    # --- HTTP with concurrent small requests (coalescing on)
+    server = PPIServer(engine, host="127.0.0.1", port=0, quiet=True)
+    port = server.server_address[1]
+    st = threading.Thread(target=server.serve_forever, daemon=True)
+    st.start()
+    per_client = N_PAIRS // N_CLIENTS
+    req_size = 4  # small requests: the coalescer must do the batching
+
+    def client(idx, out):
+        my = pairs[idx * per_client : (idx + 1) * per_client]
+        n = 0
+        for i in range(0, len(my), req_size):
+            body = json.dumps(
+                {"pairs": [list(p) for p in my[i : i + req_size]]}
+            ).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/score", data=body,
+                headers={"Content-Type": "application/json"}, method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                n += len(json.loads(r.read())["probabilities"])
+        out[idx] = n
+
+    try:
+        best = float("inf")
+        for _ in range(3):
+            out = {}
+            threads = [
+                threading.Thread(target=client, args=(i, out))
+                for i in range(N_CLIENTS)
+            ]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            dt = time.perf_counter() - t0
+            assert sum(out.values()) == per_client * N_CLIENTS
+            best = min(best, dt)
+        total = per_client * N_CLIENTS
+        print(
+            f"HTTP x{N_CLIENTS} clients, {req_size}-pair requests, "
+            f"coalescing: {total / best:.0f} pairs/s "
+            f"({best * 1e3:.0f} ms / {total} pairs)",
+            flush=True,
+        )
+    finally:
+        server.shutdown()
+        server.server_close()
+        st.join(timeout=10)
+
+
+if __name__ == "__main__":
+    main()

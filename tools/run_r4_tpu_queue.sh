@@ -41,3 +41,8 @@ echo "== bench =="
 timeout 3600 python bench.py >"$OUT/bench.log" 2>&1
 echo "bench rc=$? (log: $OUT/bench.log)"
 tail -3 "$OUT/bench.log"
+
+echo "== serve bench (informational, after the critical items) =="
+timeout 1800 python tools/bench_serve.py >"$OUT/bench_serve.log" 2>&1
+echo "bench_serve rc=$? (log: $OUT/bench_serve.log)"
+tail -6 "$OUT/bench_serve.log"
