@@ -12,11 +12,18 @@ def main(argv=None):
     from intrepppid_tpu.cli.infer import Infer
     from intrepppid_tpu.cli.evaluate import Eval
     from intrepppid_tpu.cli.serve import Serve
+    from intrepppid_tpu.cli.data import Data
     from intrepppid_tpu.utils.jax_cache import enable_compilation_cache
 
     enable_compilation_cache()
     return dispatch(
-        {"train": Train(), "infer": Infer(), "eval": Eval(), "serve": Serve()},
+        {
+            "train": Train(),
+            "infer": Infer(),
+            "eval": Eval(),
+            "serve": Serve(),
+            "data": Data(),
+        },
         argv,
     )
 
