@@ -224,6 +224,60 @@ class Data:
         return summary
 
     @staticmethod
+    def train_spm(
+        input_path: Path,
+        out_path: Path,
+        vocab_size: int = 250,
+        max_piece_len: int = 16,
+        seed_size: int = 8000,
+        max_rounds: int = 16,
+    ) -> dict:
+        """Train a unigram tokenizer model from a corpus (FASTA by
+        ``.fasta``/``.fa`` extension, else one sequence per line; gzip ok)
+        and save it as a sentencepiece-format ``.model`` — no external
+        tools (the reference's workflow needs Google's ``spm_train``).
+        The trainer is exact-EM pure Python/numpy: right-sized for
+        protein-scale corpora (a few MB); see
+        `intrepppid_tpu/data/spm/trainer.py` for the algorithm and its
+        validation oracles."""
+        from intrepppid_tpu.data.spm.proto import save_model
+        from intrepppid_tpu.data.spm.trainer import (
+            TrainerConfig,
+            train_unigram_model,
+        )
+
+        name = str(input_path).lower()
+        if name.rstrip(".gz").endswith((".fasta", ".fa")):
+            from intrepppid_tpu.cli.infer import stream_fasta
+
+            sentences = [seq for _, seq in stream_fasta(input_path)]
+        else:
+            with _opener(input_path) as f:
+                sentences = [ln.strip() for ln in f if ln.strip()]
+        cfg = TrainerConfig(
+            vocab_size=vocab_size,
+            max_piece_len=max_piece_len,
+            seed_size=seed_size,
+            max_rounds=max_rounds,
+        )
+        model, result = train_unigram_model(sentences, cfg)
+        out_path = Path(out_path)
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        save_model(model, out_path)
+        summary = {
+            "out_path": str(out_path),
+            "n_sentences": len(sentences),
+            "vocab_size": len(model.pieces),
+            "n_multi_char_pieces": sum(
+                1 for p in model.pieces if len(p.piece) > 1
+            ),
+            "em_iterations": len(result.objectives),
+            "final_log_likelihood": result.objectives[-1],
+        }
+        print(json.dumps(summary))
+        return summary
+
+    @staticmethod
     def inspect(dataset_path: Path) -> dict:
         """Summarize an INTREPPPID-format HDF5: sequence/orthologue counts,
         per-c_type split sizes, label balance, sequence-length stats."""
