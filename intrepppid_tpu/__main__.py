@@ -13,6 +13,7 @@ def main(argv=None):
     from intrepppid_tpu.cli.evaluate import Eval
     from intrepppid_tpu.cli.serve import Serve
     from intrepppid_tpu.cli.data import Data
+    from intrepppid_tpu.cli.export import Export
     from intrepppid_tpu.utils.jax_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -23,6 +24,7 @@ def main(argv=None):
             "eval": Eval(),
             "serve": Serve(),
             "data": Data(),
+            "export": Export(),
         },
         argv,
     )
