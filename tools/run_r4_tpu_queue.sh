@@ -37,6 +37,12 @@ timeout 2400 python tools/experiment_scaled_config.py \
 echo "scaled_config rc=$? (log: $OUT/scaled_config.log)"
 tail -10 "$OUT/scaled_config.log"
 
+echo "== apply measured defaults (pack_boundary + dispatch K) =="
+timeout 300 python tools/apply_queue_decisions.py "$OUT" --apply \
+  >"$OUT/apply.log" 2>&1
+echo "apply rc=$? (log: $OUT/apply.log; decisions: $OUT/DECISIONS.json)"
+tail -6 "$OUT/apply.log"
+
 echo "== bench =="
 timeout 3600 python bench.py >"$OUT/bench.log" 2>&1
 echo "bench rc=$? (log: $OUT/bench.log)"
