@@ -93,3 +93,49 @@ class TestInformational:
         d = summarize_scaled_config(log)
         assert d["seq_pairs_per_s"] == 1989.0
         assert d["plans"]
+
+
+class TestRefreshPerfClaims:
+    BENCH = {
+        "metric": "train seq-pairs/sec/chip (batch 80, trunc_len 1500, bf16, ranger21_xx)",
+        "value": 4452.1,
+        "unit": "seq-pairs/s",
+        "vs_baseline": 89.04,
+        "epoch_level": 4615.3,
+        "epoch_level_min": 4102.8,
+        "epoch_level_max": 4817.5,
+    }
+
+    def test_load_bench_from_queue_log(self, tmp_path):
+        import json
+
+        from tools.refresh_perf_claims import load_bench
+
+        log = tmp_path / "bench.log"
+        log.write_text("noise\n" + json.dumps(self.BENCH) + "\n")
+        assert load_bench(log)["value"] == 4452.1
+
+    def test_load_bench_from_driver_artifact(self, tmp_path):
+        import json
+
+        from tools.refresh_perf_claims import load_bench
+
+        art = tmp_path / "BENCH_r04.json"
+        art.write_text(json.dumps({"rc": 0, "stdout": json.dumps(self.BENCH)}))
+        assert load_bench(art)["epoch_level"] == 4615.3
+        art.write_text(json.dumps(self.BENCH))  # fields inline
+        assert load_bench(art)["value"] == 4452.1
+
+    def test_anchors_still_present(self):
+        """Every planned edit must anchor on text that actually exists, or
+        the unattended refresh silently no-ops. Skipped once the claims
+        have been refreshed for real (the anchors are then gone by
+        design)."""
+        import pytest
+
+        from tools.refresh_perf_claims import README, plan_edits
+
+        if "provisional until a driver-captured" not in README.read_text():
+            pytest.skip("claims already refreshed; anchors consumed")
+        for path, old, _ in plan_edits(self.BENCH):
+            assert old in path.read_text(), (path.name, old.splitlines()[0])

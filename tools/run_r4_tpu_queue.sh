@@ -48,6 +48,12 @@ timeout 3600 python bench.py >"$OUT/bench.log" 2>&1
 echo "bench rc=$? (log: $OUT/bench.log)"
 tail -3 "$OUT/bench.log"
 
+echo "== refresh perf claims from the captured bench =="
+timeout 300 python tools/refresh_perf_claims.py "$OUT/bench.log" --apply \
+  >"$OUT/refresh_claims.log" 2>&1
+echo "refresh rc=$? (log: $OUT/refresh_claims.log)"
+tail -8 "$OUT/refresh_claims.log"
+
 echo "== serve bench (informational, after the critical items) =="
 timeout 1800 python tools/bench_serve.py >"$OUT/bench_serve.log" 2>&1
 echo "bench_serve rc=$? (log: $OUT/bench_serve.log)"
