@@ -38,6 +38,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 PACKED = REPO / "intrepppid_tpu" / "ops" / "lstm_pallas_packed.py"
 TRAINER = REPO / "intrepppid_tpu" / "train" / "trainer.py"
+PERF_DOC = REPO / "docs" / "performance.md"
 
 PACK_FLIP_THRESHOLD = 1.02
 K_TIE_BAND = 1.02
@@ -157,6 +158,60 @@ def apply_dispatch_k(best_k: int, table) -> bool:
     return True
 
 
+def record_in_perf_doc(decisions) -> bool:
+    """Append the measured verdicts as a section in docs/performance.md
+    (idempotent: skipped if the section is already there)."""
+    marker = "## Round-4 queue verdicts (measured on-chip)"
+    src = PERF_DOC.read_text()
+    if marker in src:
+        return False
+    lines = [marker, ""]
+    pb = decisions.get("pack_boundary", {})
+    if pb.get("status") == "decided":
+        verdict = "flipped ON" if pb["set_pack_boundary"] else "kept OFF"
+        lines.append(
+            f"- **v7 pair-packed boundary**: v6 {pb['v6_ms']:.2f} ms vs v7 "
+            f"{pb['v7_ms']:.2f} ms composed fwd+bwd ({pb['speedup']:.3f}x) — "
+            f"`PACK_BOUNDARY` {verdict}."
+        )
+    dk = decisions.get("dispatch_k", {})
+    if dk.get("status") == "decided":
+        tbl = "  ".join(
+            f"K={k}:{v:.2f}ms"
+            for k, v in sorted((int(a), b) for a, b in dk["ms_per_step"].items())
+        )
+        lines.append(
+            f"- **Steps-per-dispatch re-sweep (v6.3 kernels)**: {tbl} — "
+            f"trainer default pinned at K={dk['best_k']} (ties within 2% "
+            "prefer the smaller K for logging granularity)."
+        )
+    bc = decisions.get("bwd_chunk", {})
+    if bc.get("status") == "recorded":
+        lines.append(
+            f"- **Backward C=2 chunking bound**: C=1 in-kernel "
+            f"{bc['a_c1_ms']:.2f} ms vs C=2+shifts {bc['b_c2_shifts_ms']:.2f} "
+            f"ms ({bc['b_vs_a']:.3f}x) — upper bound on the chunked-backward "
+            "win before reclaiming the shift-copy cost."
+        )
+    sc = decisions.get("scaled_config", {})
+    if sc.get("status") == "recorded" and "seq_pairs_per_s" in sc:
+        lines.append(
+            f"- **Scaled config (embedding 256, 3-layer, batch 80, T=1500)**: "
+            f"{sc['ms_per_step']:.2f} ms/step = {sc['seq_pairs_per_s']:.0f} "
+            "seq-pairs/s on-chip — validates the lite-backward H>=192 plan "
+            "choice (plan lines in DECISIONS.json)."
+        )
+    if len(lines) <= 2:
+        return False
+    lines.append("")
+    lines.append(
+        "Recorded automatically by `tools/apply_queue_decisions.py` from the "
+        "serialized TPU queue's experiment logs (`DECISIONS.json`)."
+    )
+    PERF_DOC.write_text(src.rstrip() + "\n\n" + "\n".join(lines) + "\n")
+    return True
+
+
 def main(argv):
     args = [a for a in argv[1:] if not a.startswith("--")]
     queue_dir = Path(args[0]) if args else Path("/tmp/r4_tpu_queue")
@@ -199,6 +254,8 @@ def main(argv):
                     changed.append(str(TRAINER.relative_to(REPO)))
             except RuntimeError as e:
                 dk["apply_error"] = str(e)
+        if record_in_perf_doc(decisions):
+            changed.append(str(PERF_DOC.relative_to(REPO)))
 
     decisions["applied_files"] = changed
     out = queue_dir / "DECISIONS.json"
