@@ -58,3 +58,7 @@ echo "== serve bench (informational, after the critical items) =="
 timeout 1800 python tools/bench_serve.py >"$OUT/bench_serve.log" 2>&1
 echo "bench_serve rc=$? (log: $OUT/bench_serve.log)"
 tail -6 "$OUT/bench_serve.log"
+
+echo "== on-chip verify pass (library + CLI train/infer/export/serve) =="
+timeout 5400 bash tools/run_tpu_verify.sh "$OUT/verify"
+echo "tpu_verify rc=$? (summary: $OUT/verify/VERIFY_TPU.json)"
