@@ -13,6 +13,16 @@ OUT=${1:-/tmp/r4_tpu_queue}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
+# This host has ONE core: starting measurements while something heavy runs
+# (a pytest suite, a build) contaminates every number. Wait (bounded 30 min)
+# for the 1-minute load average to settle before the first experiment.
+for i in $(seq 1 60); do
+  load=$(cut -d' ' -f1 /proc/loadavg)
+  if awk -v l="$load" 'BEGIN{exit !(l < 0.8)}'; then break; fi
+  echo "host busy (load $load); delaying measurements ($i/60)"
+  sleep 30
+done
+
 echo "== pack_boundary experiment =="
 timeout 2400 python tools/experiment_pack_boundary.py \
   >"$OUT/pack_boundary.log" 2>&1
