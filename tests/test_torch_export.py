@@ -94,6 +94,26 @@ class TestExportStateDict:
         ):
             np.testing.assert_array_equal(np.asarray(a), b)
 
+    def test_three_layer_strict_load_and_roundtrip(self):
+        """The scaled config (rnn_num_layers=3) exports and re-imports."""
+        cfg = TripletE2EConfig(
+            encoder=EncoderConfig(vocab_size=V, embedding_size=E, rnn_num_layers=3)
+        )
+        params = init_triplet_e2e(jax.random.PRNGKey(2), cfg)
+        sd = params_to_torch_state_dict(params)
+        net, _ = build_reference_like_module(
+            E, V, use_projection=False, num_layers=3
+        )
+        net.load_state_dict(
+            {k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()},
+            strict=True,
+        )
+        back = torch_state_dict_to_params(sd, rnn_num_layers=3)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(back)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), b)
+
     def test_missing_dead_projection_rejected(self):
         cfg = TripletE2EConfig(
             encoder=EncoderConfig(

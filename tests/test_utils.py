@@ -21,7 +21,7 @@ from intrepppid_tpu.utils.torch_convert import torch_state_dict_to_params
 FIXTURES = Path(__file__).parent / "fixtures"
 
 
-def build_reference_like_module(E=16, V=30, use_projection=True):
+def build_reference_like_module(E=16, V=30, use_projection=True, num_layers=2):
     """A torch module tree reproducing the reference's state_dict key
     layout (incl. WeightDrop's weight->weight_raw renames)."""
 
@@ -37,7 +37,9 @@ def build_reference_like_module(E=16, V=30, use_projection=True):
     class AWD(nn.Module):
         def __init__(self):
             super().__init__()
-            self.rnn = nn.LSTM(E, E, 2, bidirectional=True, batch_first=True)
+            self.rnn = nn.LSTM(
+                E, E, num_layers, bidirectional=True, batch_first=True
+            )
             self.rnn_dp = WD(self.rnn, ["weight_hh_l0"])
             self.fc = nn.Linear(E, E)
 
