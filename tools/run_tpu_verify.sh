@@ -78,6 +78,13 @@ RUN_DIR=$(ls -d "$WORK"/logs/*/ 2>/dev/null | grep -v tensorboard | head -1)
 CHKPT=$(ls -d "$RUN_DIR"chkpt/*epoch=01* 2>/dev/null | head -1)
 echo "checkpoint: $CHKPT"
 
+# 2b. eval the checkpoint on the fixture's test split (architecture
+#     hyperparameters auto-read from the run's hyperparams.json)
+step cli_eval python -m intrepppid_tpu eval e2e_rnn_triplet \
+  --checkpoint_path "$CHKPT" --ppi_dataset_path tests/fixtures/tiny.h5 \
+  --sentencepiece_path tests/fixtures/tiny_spm.model --c_type 3 \
+  --batch_size 4 --out_path "$WORK/eval_metrics.json"
+
 # 3. infer from the orbax checkpoint
 cat > "$WORK/itx.csv" <<'CSV'
 itx_id,id_a,id_b
