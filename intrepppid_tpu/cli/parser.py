@@ -93,10 +93,34 @@ def add_function_parser(subparsers, name: str, fn: Callable) -> None:
     parser.set_defaults(_fn=fn)
 
 
+def _positionals_to_flags(rest, fn):
+    """Fire-parity argv rewrite: the reference's CLI (Google Fire,
+    `intrepppid/__main__.py:22-33`) accepts leading positional operands
+    bound to the function's parameters in signature order — its docs use
+    that style (``intrepppid train e2e_rnn_triplet DATASET.h5 spm.model 3
+    100 80 --seed ...``, `docs/guide.rst`). Map each leading token that
+    isn't a flag onto the next parameter, then hand the result (plus the
+    untouched ``--flag`` tail) to argparse."""
+    names = [
+        p
+        for p in inspect.signature(fn).parameters
+        if p != "self" and not p.startswith("_")
+    ]
+    out = []
+    i = 0
+    for name in names:
+        if i >= len(rest) or rest[i].startswith("-"):
+            break
+        out += [f"--{name}", rest[i]]
+        i += 1
+    return out + list(rest[i:])
+
+
 def dispatch(groups: Dict[str, object], argv=None, prog: str = "intrepppid_tpu"):
     """``groups`` maps group name -> object whose public methods are commands."""
     parser = argparse.ArgumentParser(prog=prog)
     group_sub = parser.add_subparsers(dest="group", required=True)
+    commands: Dict[tuple, Callable] = {}
     for gname, gobj in groups.items():
         gparser = group_sub.add_parser(gname)
         cmd_sub = gparser.add_subparsers(dest="command", required=True)
@@ -104,6 +128,16 @@ def dispatch(groups: Dict[str, object], argv=None, prog: str = "intrepppid_tpu")
             if cname.startswith("_"):
                 continue
             add_function_parser(cmd_sub, cname, fn)
+            commands[(gname, cname)] = fn
+    if argv is None:
+        import sys
+
+        argv = sys.argv[1:]
+    argv = list(argv)
+    if len(argv) >= 2 and (argv[0], argv[1]) in commands:
+        argv = argv[:2] + _positionals_to_flags(
+            argv[2:], commands[(argv[0], argv[1])]
+        )
     args = parser.parse_args(argv)
     fn = args._fn
     kwargs = {

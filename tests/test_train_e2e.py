@@ -258,6 +258,33 @@ def test_cli_parser_dispatch(fixtures, tmp_path):
         assert flag in text
 
 
+def test_cli_positional_args_fire_parity(fixtures, capsys):
+    """The reference CLI is Google Fire: its docs pass leading positionals
+    bound in signature order (`docs/guide.rst`: ``intrepppid train
+    e2e_rnn_triplet DATASET.h5 spm.model 3 100 80 --seed ...``). The
+    dispatcher must accept the same style."""
+    from intrepppid_tpu.__main__ import main
+    from intrepppid_tpu.cli.parser import _positionals_to_flags
+
+    # unit: leading tokens map in signature order; the first flag stops it
+    def fn(a_path, b_num: int, c_opt: int = 1, d_opt: str = "x"):
+        pass
+
+    assert _positionals_to_flags(["p.h5", "3", "--d_opt", "y"], fn) == [
+        "--a_path", "p.h5", "--b_num", "3", "--d_opt", "y",
+    ]
+    assert _positionals_to_flags([], fn) == []
+    # all-positional, including optionals, Fire-style
+    assert _positionals_to_flags(["p", "1", "2", "z"], fn) == [
+        "--a_path", "p", "--b_num", "1", "--c_opt", "2", "--d_opt", "z",
+    ]
+
+    # integration: a real command invoked reference-doc style
+    main(["data", "inspect", str(fixtures / "tiny.h5")])
+    out = capsys.readouterr().out
+    assert '"train"' in out or "train" in out  # split summary printed
+
+
 def test_swa_applied(trained):
     trainer, _, _ = trained
     # 3 epochs: Lightning swa_start = int(0.8*3)-1 = 1 (0-based epoch start),
