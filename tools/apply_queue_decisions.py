@@ -39,6 +39,7 @@ REPO = Path(__file__).resolve().parent.parent
 PACKED = REPO / "intrepppid_tpu" / "ops" / "lstm_pallas_packed.py"
 TRAINER = REPO / "intrepppid_tpu" / "train" / "trainer.py"
 PERF_DOC = REPO / "docs" / "performance.md"
+PARITY_DOC = REPO / "PARITY.md"
 
 PACK_FLIP_THRESHOLD = 1.02
 K_TIE_BAND = 1.02
@@ -155,6 +156,15 @@ def apply_dispatch_k(best_k: int, table) -> bool:
             + src[doc.end():]
         )
     TRAINER.write_text(src)
+    # keep PARITY.md's mention of the default in step (best-effort anchor)
+    psrc = PARITY_DOC.read_text()
+    panchor = "default K=10 on TPU-class backends"
+    if panchor in psrc:
+        PARITY_DOC.write_text(
+            psrc.replace(
+                panchor, f"default K={best_k} on TPU-class backends", 1
+            )
+        )
     return True
 
 
@@ -252,6 +262,9 @@ def main(argv):
                     {int(k): v for k, v in dk["ms_per_step"].items()},
                 ):
                     changed.append(str(TRAINER.relative_to(REPO)))
+                    # PARITY.md may have been touched alongside (harmless
+                    # in the commit pathspec if it wasn't)
+                    changed.append(str(PARITY_DOC.relative_to(REPO)))
             except RuntimeError as e:
                 dk["apply_error"] = str(e)
         if record_in_perf_doc(decisions):
