@@ -247,7 +247,9 @@ class Data:
         )
 
         name = str(input_path).lower()
-        if name.rstrip(".gz").endswith((".fasta", ".fa")):
+        if name.endswith(".gz"):  # rstrip would eat a char-set, not ".gz"
+            name = name[: -len(".gz")]
+        if name.endswith((".fasta", ".fa")):
             from intrepppid_tpu.cli.infer import stream_fasta
 
             sentences = [seq for _, seq in stream_fasta(input_path)]

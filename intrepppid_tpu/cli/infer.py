@@ -135,7 +135,12 @@ class _KVStore:
 
 
 def _load_params(weights_path, net):
-    """Orbax checkpoint dir, or reference torch .ckpt (auto-converted)."""
+    """Orbax checkpoint dir, or reference torch .ckpt (auto-converted).
+
+    The torch conversion walks ``rnn_num_layers`` LSTM key groups, so it
+    must use the network's configured depth — defaulting it would silently
+    truncate a 3-layer checkpoint to 2 layers (the params list IS the
+    layer loop in ``ops/lstm.bilstm``)."""
     weights_path = Path(weights_path)
     if weights_path.is_dir():
         from intrepppid_tpu.train.checkpoint import load_params_from_checkpoint
@@ -143,7 +148,9 @@ def _load_params(weights_path, net):
         return load_params_from_checkpoint(weights_path)
     from intrepppid_tpu.utils.torch_convert import load_torch_checkpoint
 
-    return load_torch_checkpoint(weights_path)
+    return load_torch_checkpoint(
+        weights_path, rnn_num_layers=net.cfg.encoder.rnn_num_layers
+    )
 
 
 class Infer:
@@ -320,9 +327,10 @@ class Infer:
             xa = np.stack([ea[:T] for _, ea, _ in rows_buf])
             xb = np.stack([eb[:T] for _, _, eb in rows_buf])
             if len(rows_buf) < batch_size:
-                pad = batch_size - len(rows_buf)
-                xa = np.concatenate([xa, np.repeat(xa[-1:], pad, axis=0)])
-                xb = np.concatenate([xb, np.repeat(xb[-1:], pad, axis=0)])
+                from intrepppid_tpu.data.utils import repeat_pad_rows
+
+                xa = repeat_pad_rows(xa, batch_size)
+                xb = repeat_pad_rows(xb, batch_size)
             wire = compress_batch_for_wire({"p1": xa, "p2": xb}, vocab_size)
             # meta is a LIST of ids: group_dispatch_batches tuples the metas
             # of a stacked group, so tuple-ness tells the consumer apart

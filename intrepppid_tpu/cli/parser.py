@@ -106,10 +106,20 @@ def _positionals_to_flags(rest, fn):
         for p in inspect.signature(fn).parameters
         if p != "self" and not p.startswith("_")
     ]
+
+    def is_flag(tok: str) -> bool:
+        if not tok.startswith("-") or tok == "-":
+            return False
+        try:  # Fire binds negative numbers positionally (e.g. --seed -1)
+            float(tok)
+            return False
+        except ValueError:
+            return True
+
     out = []
     i = 0
     for name in names:
-        if i >= len(rest) or rest[i].startswith("-"):
+        if i >= len(rest) or is_flag(rest[i]):
             break
         out += [f"--{name}", rest[i]]
         i += 1

@@ -42,3 +42,19 @@ def get_aa_code(aa: str, rng: Optional[random.Random] = None) -> Optional[int]:
 def encode_seq(seq: str, rng: Optional[random.Random] = None) -> List[int]:
     """String of amino acids -> list of integer codes."""
     return [get_aa_code(aa, rng) for aa in seq]
+
+
+def repeat_pad_rows(x, size: int):
+    """Pad axis 0 up to exactly ``size`` rows by repeating the last row.
+
+    The fixed-compiled-shape idiom shared by the infer CLI, the serving
+    engine, and the mesh tail-padding: a variable tail shape would compile
+    a fresh executable (minutes on remote-compile platforms), so tails are
+    padded to the one compiled shape and the pad rows' outputs are sliced
+    off (or weight-masked) by the caller."""
+    import numpy as np
+
+    pad = size - x.shape[0]
+    if pad <= 0:
+        return x
+    return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)

