@@ -67,6 +67,10 @@ else:
 print("LIBRARY VERIFY OK")
 EOF
 
+# 1b. learnability probe: the framework must LEARN on this device, not
+#     just run (AUROC thresholds inside; ~0.97 CPU scan / ~1.0 TPU Pallas)
+step learnability python tools/learnability_probe.py
+
 # 2. CLI train (tiny fixture, 2 epochs) on the chip
 step cli_train python -m intrepppid_tpu train e2e_rnn_triplet \
   --ppi_dataset_path tests/fixtures/tiny.h5 \
