@@ -78,9 +78,14 @@ class Eval:
         from intrepppid_tpu.models.triplet import step as triplet_step
         from intrepppid_tpu.parallel import (
             batch_sharding,
+            initialize_distributed,
             make_mesh,
             replicated_sharding,
         )
+
+        # multi-host bootstrap (no-op without the JAX_COORDINATOR_* env):
+        # the same eval command launched on every host shares the dispatches
+        initialize_distributed()
         from intrepppid_tpu.train.checkpoint import load_params_from_checkpoint
         from intrepppid_tpu.train.trainer import EpochAccumulator
 
@@ -178,7 +183,9 @@ class Eval:
                 acc.add(aux, meta)
         metrics = {f"{split}_{k}": float(v) for k, v in acc.means().items()}
         print(json.dumps(metrics, indent=2))
-        if out_path is not None:
+        # metric values are computed on the global batch and replicated, so
+        # every process holds identical numbers; only rank 0 writes the file
+        if out_path is not None and jax.process_index() == 0:
             Path(out_path).parent.mkdir(parents=True, exist_ok=True)
             with open(out_path, "w") as f:
                 json.dump(metrics, f, indent=2)

@@ -47,10 +47,23 @@ class Train:
     ):
         """Train INTREPPPID end-to-end: AWD-LSTM encoder + MLP classifier
         with the orthologue triplet task, on TPU via JAX."""
+        from intrepppid_tpu.parallel import (
+            broadcast_from_primary_str,
+            initialize_distributed,
+        )
         from intrepppid_tpu.train.e2e_triplet import train_e2e_rnn_triplet
+
+        # Multi-host bootstrap: a no-op without JAX_COORDINATOR_ADDRESS /
+        # JAX_NUM_PROCESSES / JAX_PROCESS_ID (or a Cloud-TPU pod slice).
+        # With them, launching this same CLI command on every host forms
+        # one pod-wide data-parallel run — so the processes must agree on
+        # ONE run name (each draws its own timestamp+passphrase below,
+        # which would split the shared checkpoint/log layout).
+        initialize_distributed()
 
         dt = datetime.now().strftime("%y.%j-%H.%M")
         model_name = f"{dt}-{generate_passphrase(2, '-')}"
+        model_name = broadcast_from_primary_str(model_name)
 
         log_path = Path(log_path)
         chkpt_dir = log_path / model_name / "chkpt"

@@ -1,5 +1,7 @@
 from intrepppid_tpu.parallel.mesh import (
     batch_sharding,
+    broadcast_from_primary_int,
+    broadcast_from_primary_str,
     initialize_distributed,
     put_global_batch,
     make_mesh,
@@ -11,6 +13,8 @@ from intrepppid_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "broadcast_from_primary_int",
+    "broadcast_from_primary_str",
     "initialize_distributed",
     "put_global_batch",
     "make_mesh",

@@ -61,6 +61,39 @@ def initialize_distributed(
     return True
 
 
+def broadcast_from_primary_int(value: int) -> int:
+    """Agree on process 0's integer across all processes.
+
+    Single-process: identity. Multi-process: a ``broadcast_one_to_all``
+    collective (every process must call it, in the same order relative to
+    other collectives). Used to sync the run seed — the reference draws a
+    random fallback seed when none is given (`e2e_triplet.py:291-293`),
+    and on a pod each process would otherwise draw its own, breaking the
+    replicated-params invariant."""
+    if jax.process_count() == 1:
+        return int(value)
+    from jax.experimental import multihost_utils
+
+    return int(multihost_utils.broadcast_one_to_all(np.int32(value)))
+
+
+def broadcast_from_primary_str(value: str, max_len: int = 128) -> str:
+    """Agree on process 0's string across all processes (identity when
+    single-process). Used to sync the generated run name: each process
+    launched with the same CLI command draws its own timestamp+passphrase
+    (`cli/train.py` run naming), which would split the shared
+    checkpoint/log directory layout across hosts."""
+    if jax.process_count() == 1:
+        return value
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros(max_len, np.uint8)
+    raw = value.encode("utf-8")[:max_len]
+    buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return bytes(out).rstrip(b"\x00").decode("utf-8")
+
+
 def put_global_batch(mesh: Mesh, batch, sharding=None):
     """Place a pytree of arrays onto the mesh, multi-host aware.
 

@@ -28,7 +28,11 @@ import jax.numpy as jnp
 from intrepppid_tpu.data.ppi_oma import IntrepppidDataModule
 from intrepppid_tpu.models.factory import intrepppid_network
 from intrepppid_tpu.optim import SWAConfig
-from intrepppid_tpu.parallel import make_mesh
+from intrepppid_tpu.parallel import (
+    broadcast_from_primary_int,
+    initialize_distributed,
+    make_mesh,
+)
 from intrepppid_tpu.train.trainer import Trainer
 from intrepppid_tpu.utils.dictlogger import DictLogger
 
@@ -65,6 +69,10 @@ def train_e2e_rnn_triplet(
     n_data_parallel: Optional[int] = None,
     steps_per_dispatch: Optional[int] = None,
 ):
+    # Multi-host bootstrap (idempotent; the CLI already calls it before
+    # run naming). No-op without the JAX_COORDINATOR_* env / a pod slice.
+    initialize_distributed()
+
     log_path = Path(log_path)
     hyperparams_path = Path(hyperparams_path)
     chkpt_dir = Path(chkpt_dir)
@@ -72,7 +80,11 @@ def train_e2e_rnn_triplet(
     makedirs(log_path, exist_ok=True)
     makedirs(hyperparams_path.parent, exist_ok=True)
 
+    # the reference draws a random fallback seed (`e2e_triplet.py:291-293`);
+    # on a pod every process must use process 0's draw or each rank would
+    # init different (supposedly replicated) params
     seed = random.randint(0, 99999) if seed is None else seed
+    seed = broadcast_from_primary_int(seed)
 
     hyperparameters = {
         "architecture": "ClassifierBarlow",

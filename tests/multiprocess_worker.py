@@ -257,13 +257,22 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
 
-    from intrepppid_tpu.parallel import initialize_distributed
+    from intrepppid_tpu.parallel import (
+        broadcast_from_primary_int,
+        broadcast_from_primary_str,
+        initialize_distributed,
+    )
 
     assert initialize_distributed(
         coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
     )
     assert jax.process_count() == 2, jax.process_count()
     assert jax.device_count() == 8, jax.device_count()
+
+    # run-name / seed agreement (the CLI's pod-launch contract): every
+    # process feeds its own draw, all end up with process 0's
+    sync_name = broadcast_from_primary_str(f"25.230-01.02-word-{pid}")
+    sync_seed = broadcast_from_primary_int(1000 + pid)
 
     half = B_GLOBAL // 2
     sl = slice(pid * half, (pid + 1) * half)
@@ -280,6 +289,8 @@ def main():
         "pipeline_loss": out["pipeline_loss"],
         "eval": eval_metrics,
         "fit": fit_out,
+        "sync_name": sync_name,
+        "sync_seed": sync_seed,
     }), flush=True)
 
 

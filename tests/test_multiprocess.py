@@ -83,6 +83,15 @@ def test_workers_agree(worker_results):
         np.testing.assert_allclose(r0["eval"][k], r1["eval"][k], rtol=1e-6, err_msg=k)
 
 
+def test_run_name_and_seed_sync(worker_results):
+    """Pod-launch contract of the train CLI: each process draws its own
+    run name / fallback seed, the broadcast helpers make all agree on
+    process 0's draw (tests the collective for real, 2 processes)."""
+    r0, r1 = worker_results
+    assert r0["sync_name"] == r1["sync_name"] == "25.230-01.02-word-0"
+    assert r0["sync_seed"] == r1["sync_seed"] == 1000
+
+
 def test_matches_single_process(worker_results):
     """The 2-process DP run must reproduce the single-process numbers: the
     global batch is identical, only its assembly is distributed."""

@@ -152,6 +152,82 @@ class TestMultiHostHelpers:
         monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
         assert initialize_distributed() is False
 
+    def test_broadcast_helpers_identity_single_process(self):
+        from intrepppid_tpu.parallel import (
+            broadcast_from_primary_int,
+            broadcast_from_primary_str,
+        )
+
+        assert broadcast_from_primary_int(8675309) == 8675309
+        assert broadcast_from_primary_str("25.230-01.02-acorn-tundra") == (
+            "25.230-01.02-acorn-tundra"
+        )
+
+    def test_train_cli_bootstraps_distributed(self, monkeypatch, tmp_path):
+        """The train CLI must call initialize_distributed() BEFORE run
+        naming (pod processes have to agree on one name) — sentinel raise
+        proves the call and its ordering without running a training."""
+        import intrepppid_tpu.parallel as par
+        from intrepppid_tpu.cli.train import Train
+
+        class Sentinel(Exception):
+            pass
+
+        def boom():
+            raise Sentinel
+
+        monkeypatch.setattr(par, "initialize_distributed", boom)
+        import pytest
+
+        with pytest.raises(Sentinel):
+            Train.e2e_rnn_triplet(
+                ppi_dataset_path=tmp_path / "none.h5",
+                sentencepiece_path=tmp_path / "none.model",
+                c_type=3,
+                num_epochs=1,
+                batch_size=4,
+                log_path=tmp_path / "logs",
+            )
+
+    def test_train_driver_bootstraps_distributed(self, monkeypatch, tmp_path):
+        """The library driver bootstraps too (idempotent after the CLI)."""
+        import intrepppid_tpu.train.e2e_triplet as mod
+
+        class Sentinel(Exception):
+            pass
+
+        def boom():
+            raise Sentinel
+
+        monkeypatch.setattr(mod, "initialize_distributed", boom)
+        import pytest
+
+        with pytest.raises(Sentinel):
+            mod.train_e2e_rnn_triplet(
+                vocab_size=250,
+                trunc_len=100,
+                embedding_size=8,
+                rnn_num_layers=1,
+                rnn_dropout_rate=0.3,
+                variational_dropout=False,
+                bi_reduce="last",
+                ppi_dataset_path=tmp_path / "none.h5",
+                sentencepiece_path=tmp_path / "none.model",
+                log_path=tmp_path / "logs",
+                hyperparams_path=tmp_path / "hp.json",
+                chkpt_dir=tmp_path / "chkpt",
+                c_type=3,
+                model_name="t",
+                workers=0,
+                embedding_droprate=0.3,
+                do_rate=0.3,
+                num_epochs=1,
+                batch_size=4,
+                encoder_only_steps=-1,
+                classifier_warm_up=-1,
+                beta_classifier=2.0,
+            )
+
     def test_put_global_batch_single_process(self):
         import jax
         import numpy as np
