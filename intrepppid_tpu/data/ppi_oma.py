@@ -210,6 +210,46 @@ class IntrepppidDataset:
         return len(self.interactions)
 
 
+def _process_info() -> tuple:
+    """(process_count, process_index) — (1, 0) when jax is unavailable."""
+    try:
+        import jax
+
+        return jax.process_count(), jax.process_index()
+    except Exception:
+        return 1, 0
+
+
+def shard_batch_rows(indices, process_count: int, process_index: int):
+    """Contiguous per-process rows of one global batch (multi-host DP).
+
+    Process ``p`` takes rows ``[p*Bl, (p+1)*Bl)`` of the global batch,
+    ``Bl = ceil(B / P)`` — the global batch assembled from the process
+    slices (``jax.make_array_from_process_local_data`` stacks them in
+    process order) is exactly the single-host batch, in order. Every
+    process must contribute the SAME local shape, so when ``B`` does not
+    divide evenly, short (or empty) slices repeat a row and all processes
+    attach a ``weight`` vector (1 real / 0 repeated) that the quintuplet
+    step uses to mask the duplicates out of losses, gradients and
+    metrics. Returns ``(local_indices, weight-or-None)``; weight is None
+    exactly when no process needed padding (so batch pytrees keep
+    identical keys across processes either way)."""
+    indices = np.asarray(indices)
+    n = len(indices)
+    bl = -(-n // process_count)
+    local = indices[process_index * bl : (process_index + 1) * bl]
+    if bl * process_count == n:
+        return local, None
+    weight = np.ones(bl, np.float32)
+    weight[len(local) :] = 0.0
+    if len(local) < bl:
+        pad_src = local[-1:] if len(local) else indices[-1:]
+        local = np.concatenate(
+            [local, np.repeat(pad_src, bl - len(local))]
+        )
+    return local, weight
+
+
 class IntrepppidDataModule:
     """Batched quintuplet pipeline (reference `ppi_oma.py:518-643`).
 
@@ -253,7 +293,14 @@ class IntrepppidDataModule:
 
         self.tokenizer = SentencePieceTokenizer(model_file)
         self.tokenizer.validate_vocab_size(vocab_size)
-        self.tokenizer.seed(seed)  # sp.set_random_generator_seed parity (:550)
+        # decorrelate per-process random streams on a pod (orthologue
+        # draws / subword sampling would otherwise repeat identically on
+        # every process's slice); 0 on single host and process 0, so the
+        # single-host streams are unchanged. The shuffle order (:398)
+        # deliberately does NOT mix this in — it must agree globally.
+        self._shard_seed_offset = 1009 * _process_info()[1]
+        # sp.set_random_generator_seed parity (:550)
+        self.tokenizer.seed(seed + self._shard_seed_offset)
 
         self.dataset_train: Optional[IntrepppidDataset] = None
         self.dataset_val: Optional[IntrepppidDataset] = None
@@ -270,14 +317,15 @@ class IntrepppidDataModule:
             negative_omid=self.negative_omid,
             tokenizer=self.tokenizer,
         )
+        off = self._shard_seed_offset
         self.dataset_train = IntrepppidDataset(
-            split="train", seed=self.seed, **common
+            split="train", seed=self.seed + off, **common
         )
         self.dataset_val = IntrepppidDataset(
-            split="val", seed=self.seed + 1, **common
+            split="val", seed=self.seed + 1 + off, **common
         )
         self.dataset_test = IntrepppidDataset(
-            split="test", seed=self.seed + 2, **common
+            split="test", seed=self.seed + 2 + off, **common
         )
 
     # -------------------------------------------------------------- helpers
@@ -293,7 +341,8 @@ class IntrepppidDataModule:
         return self.buckets[-1]
 
     def _make_batch(
-        self, ds: IntrepppidDataset, indices: np.ndarray, sampling: bool
+        self, ds: IntrepppidDataset, indices: np.ndarray, sampling: bool,
+        t_bucket: Optional[int] = None,
     ) -> Dict[str, np.ndarray]:
         B = len(indices)
         groups = {k: [] for k in ("p1", "p2", "anchor", "positive", "negative")}
@@ -327,9 +376,10 @@ class IntrepppidDataModule:
             eos=self.eos,
             workers=self.workers,
         )
-        # bucket on true token lengths (chars are only an upper bound)
-        longest = int(np.max(np.sum(toks != 0, axis=1))) if toks.size else 1
-        t_bucket = self._bucket_len(max(longest, 1))
+        if t_bucket is None:
+            # bucket on true token lengths (chars are only an upper bound)
+            longest = int(np.max(np.sum(toks != 0, axis=1))) if toks.size else 1
+            t_bucket = self._bucket_len(max(longest, 1))
         toks = toks[:, :t_bucket]
         batch = {
             "p1": toks[0:B],
@@ -357,9 +407,24 @@ class IntrepppidDataModule:
         if cache_key is not None and cache_key in self._eval_cache:
             yield from self._eval_cache[cache_key]
             return
+        # Multi-host DP: each process tokenizes only its contiguous slice
+        # of every global batch (the shuffle order is identical everywhere
+        # — the seed is broadcast from process 0). The time bucket must be
+        # globally consistent but depends on process-local orthologue
+        # draws, so multi-host pins the top bucket (one compiled shape;
+        # trades the bucketing win for shape agreement without a per-batch
+        # host collective).
+        pc, pid = _process_info()
+        t_bucket = self.buckets[-1] if pc > 1 else None
         cache = [] if cache_key is not None else None
         for start in range(0, n, self.batch_size):
-            batch = self._make_batch(ds, order[start : start + self.batch_size], sampling)
+            idx = order[start : start + self.batch_size]
+            weight = None
+            if pc > 1:
+                idx, weight = shard_batch_rows(idx, pc, pid)
+            batch = self._make_batch(ds, idx, sampling, t_bucket=t_bucket)
+            if weight is not None:
+                batch["weight"] = weight
             if cache is not None:
                 cache.append(batch)
             yield batch

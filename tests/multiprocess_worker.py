@@ -251,6 +251,60 @@ def run_trainer_fit(mesh, shared_dir):
     }
 
 
+def run_real_datamodule(mesh):
+    """The REAL IntrepppidDataModule in multi-host mode: each process
+    tokenizes only its slice of every global batch (`_iter_split`'s
+    process-shard branch), feeds it through ``put_global_batch`` padded to
+    the device count, and runs one weighted eval step — both processes
+    must see identical global losses. Returns (loss, local_rows, n_real)."""
+    from pathlib import Path
+
+    import jax
+    import numpy as np
+
+    from intrepppid_tpu.data.ppi_oma import IntrepppidDataModule
+    from intrepppid_tpu.models.factory import intrepppid_network
+    from intrepppid_tpu.models.triplet import step as triplet_step
+    from intrepppid_tpu.parallel import (
+        batch_sharding,
+        pad_batch_to_multiple,
+        put_global_batch,
+        replicated_sharding,
+    )
+
+    fixtures = Path(__file__).parent / "fixtures"
+    dm = IntrepppidDataModule(
+        batch_size=8, dataset_path=fixtures / "tiny.h5", c_type=3,
+        trunc_len=64, workers=0, vocab_size=38,
+        model_file=fixtures / "tiny_spm.model",
+        seed=42, sos=False, eos=False, negative_omid=True,
+    )
+    dm.setup()
+    local = next(iter(dm.val_batches()))
+    local_rows = int(local["p1"].shape[0])
+    n_real = int(local.get("weight", np.ones(local_rows)).sum())
+    padded, _ = pad_batch_to_multiple(local, jax.device_count())
+    batch = put_global_batch(mesh, padded, sharding=batch_sharding(mesh))
+
+    net = intrepppid_network(
+        steps_per_epoch=1, num_epochs=1, vocab_size=38, embedding_size=E,
+        optimizer_type="adamw",
+    )
+    params = put_global_batch(
+        mesh, {"p": net.init(jax.random.PRNGKey(0))},
+        sharding=replicated_sharding(mesh),
+    )["p"]
+    rep = replicated_sharding(mesh)
+    loss = jax.jit(
+        lambda p, b: triplet_step(
+            p, net.cfg, b, jax.random.PRNGKey(3), train=False
+        )[0],
+        in_shardings=(rep, batch_sharding(mesh)),
+        out_shardings=rep,
+    )(params, batch)
+    return float(loss), local_rows, n_real
+
+
 def main():
     pid, port = int(sys.argv[1]), sys.argv[2]
     import jax
@@ -284,6 +338,7 @@ def main():
         out["mesh"], out["net"], out["params"], local_rows
     )
     fit_out = run_trainer_fit(out["mesh"], sys.argv[3])
+    dm_loss, dm_local_rows, dm_real = run_real_datamodule(out["mesh"])
     print(json.dumps({
         "losses": out["losses"],
         "pipeline_loss": out["pipeline_loss"],
@@ -291,6 +346,9 @@ def main():
         "fit": fit_out,
         "sync_name": sync_name,
         "sync_seed": sync_seed,
+        "dm_loss": dm_loss,
+        "dm_local_rows": dm_local_rows,
+        "dm_real": dm_real,
     }), flush=True)
 
 

@@ -332,3 +332,124 @@ class TestLegacyDatasets:
                     sos=False,
                     eos=False,
                 )
+
+
+class TestMultiHostSharding:
+    """Per-process batch slicing for pod-launched training: the global
+    batch assembled from process slices must equal the single-host batch
+    (`data/ppi_oma.py:shard_batch_rows` + the `_iter_split` multi-host
+    branch)."""
+
+    def test_shard_batch_rows_even(self):
+        from intrepppid_tpu.data.ppi_oma import shard_batch_rows
+
+        idx = np.arange(8)
+        l0, w0 = shard_batch_rows(idx, 2, 0)
+        l1, w1 = shard_batch_rows(idx, 2, 1)
+        np.testing.assert_array_equal(l0, [0, 1, 2, 3])
+        np.testing.assert_array_equal(l1, [4, 5, 6, 7])
+        assert w0 is None and w1 is None
+
+    def test_shard_batch_rows_uneven(self):
+        from intrepppid_tpu.data.ppi_oma import shard_batch_rows
+
+        idx = np.arange(5)
+        l0, w0 = shard_batch_rows(idx, 2, 0)
+        l1, w1 = shard_batch_rows(idx, 2, 1)
+        # every process contributes the same local shape; weights mark
+        # the repeated filler rows (and are present on ALL processes so
+        # batch pytrees keep identical keys)
+        np.testing.assert_array_equal(l0, [0, 1, 2])
+        np.testing.assert_array_equal(w0, [1, 1, 1])
+        np.testing.assert_array_equal(l1, [3, 4, 4])
+        np.testing.assert_array_equal(w1, [1, 1, 0])
+
+    def test_shard_batch_rows_more_processes_than_rows(self):
+        from intrepppid_tpu.data.ppi_oma import shard_batch_rows
+
+        idx = np.arange(3)
+        seen = []
+        for pid in range(8):
+            local, w = shard_batch_rows(idx, 8, pid)
+            assert local.shape == (1,) and w.shape == (1,)
+            if w[0] == 1:
+                seen.append(int(local[0]))
+        assert sorted(seen) == [0, 1, 2]
+
+    def test_sharded_val_batches_reassemble_single_host(self, fixtures, monkeypatch):
+        """Two simulated processes' val batches, concatenated in process
+        order, must reproduce the single-host batches on every
+        deterministic key (p1/p2/label — val tokenisation is
+        deterministic; anchor/positive/negative draws are per-process
+        random streams by design, like the reference's per-DataLoader-
+        worker RNG). Multi-host pins the top time bucket, so compare
+        after trimming to the single-host bucket width."""
+        import intrepppid_tpu.data.ppi_oma as mod
+
+        single = list(self._dm_for(fixtures).val_batches())
+
+        shards = []
+        for pid in (0, 1):
+            monkeypatch.setattr(mod, "_process_info", lambda p=pid: (2, p))
+            shards.append(list(self._dm_for(fixtures).val_batches()))
+        monkeypatch.undo()
+
+        assert len(shards[0]) == len(shards[1]) == len(single)
+        top = None
+        for b, b0, b1 in zip(single, shards[0], shards[1]):
+            assert b0["p1"].shape == b1["p1"].shape  # equal local shapes
+            if top is None:
+                top = b0["p1"].shape[1]
+            assert b0["p1"].shape[1] == top  # one compiled shape throughout
+            B = b["label"].shape[0]
+            w = np.concatenate(
+                [s.get("weight", np.ones(s["label"].shape[0])) for s in (b0, b1)]
+            )
+            real = w > 0
+            assert int(real.sum()) == B
+            for k in ("p1", "p2"):
+                glob = np.concatenate([b0[k], b1[k]])[real]
+                T = b[k].shape[1]
+                # beyond the single-host bucket everything is padding
+                assert not np.any(glob[:, T:])
+                np.testing.assert_array_equal(glob[:, :T], b[k], err_msg=k)
+            for k in ("anchor", "positive", "negative"):
+                assert np.concatenate([b0[k], b1[k]]).shape[0] == w.shape[0]
+            np.testing.assert_array_equal(
+                np.concatenate([b0["label"], b1["label"]])[real], b["label"]
+            )
+
+    def test_sharded_processes_draw_decorrelated_orthologues(
+        self, fixtures, monkeypatch
+    ):
+        """Same-seed processes must NOT repeat each other's orthologue /
+        subword draws — the per-process RNG streams mix the process index
+        (`_shard_seed_offset`), else row j of every process's slice would
+        share one negative orthogroup."""
+        import intrepppid_tpu.data.ppi_oma as mod
+
+        negs = []
+        for pid in (0, 1):
+            monkeypatch.setattr(mod, "_process_info", lambda p=pid: (2, p))
+            dm = self._dm_for(fixtures)
+            b = next(iter(dm.train_batches(0)))
+            negs.append(b["negative"])
+        monkeypatch.undo()
+        assert not np.array_equal(negs[0], negs[1])
+
+    def _dm_for(self, fixtures):
+        dm = IntrepppidDataModule(
+            batch_size=8,
+            dataset_path=fixtures / "tiny.h5",
+            c_type=3,
+            trunc_len=64,
+            workers=0,
+            vocab_size=38,
+            model_file=fixtures / "tiny_spm.model",
+            seed=42,
+            sos=False,
+            eos=False,
+            negative_omid=True,
+        )
+        dm.setup()
+        return dm

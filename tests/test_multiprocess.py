@@ -92,6 +92,18 @@ def test_run_name_and_seed_sync(worker_results):
     assert r0["sync_seed"] == r1["sync_seed"] == 1000
 
 
+def test_real_datamodule_multihost(worker_results):
+    """The shipped IntrepppidDataModule drives a real 2-process eval step:
+    each process tokenizes only its 4-row slice of the 8-row global val
+    batch, global assembly succeeds, and both processes compute the same
+    global loss."""
+    r0, r1 = worker_results
+    assert r0["dm_local_rows"] == r1["dm_local_rows"] == 4
+    assert r0["dm_real"] == r1["dm_real"] == 4
+    assert np.isfinite(r0["dm_loss"])
+    np.testing.assert_allclose(r0["dm_loss"], r1["dm_loss"], rtol=1e-6)
+
+
 def test_matches_single_process(worker_results):
     """The 2-process DP run must reproduce the single-process numbers: the
     global batch is identical, only its assembly is distributed."""
