@@ -126,7 +126,10 @@ class Eval:
         # replicated, batch sharded on the batch dim, rows padded to the
         # device count with weight-0 rows the step masks out.
         mesh = make_mesh(n_data=n_data_parallel)
-        n_devices = int(np.prod(mesh.devices.shape))
+        # padding granularity = devices fed by THIS process (cf. Trainer)
+        n_devices = max(
+            1, int(np.prod(mesh.devices.shape)) // jax.process_count()
+        )
         rep = replicated_sharding(mesh)
         data_sh = batch_sharding(mesh)
         params = jax.device_put(params, rep)

@@ -289,7 +289,17 @@ class Trainer:
         self.tb_writer = tb_writer
         self.log_every_n_steps = log_every_n_steps
         self.mesh = mesh if mesh is not None else make_mesh(n_data=1)
-        self.n_devices = int(np.prod(self.mesh.devices.shape))
+        # batch-padding granularity: local batches must land on a multiple
+        # of the devices THIS process feeds. Single-host that is every
+        # device; multi-host each process holds 1/P of the mesh, and since
+        # all processes shard batches identically (equal local shapes by
+        # the data module's contract), local-multiple padding keeps the
+        # global batch divisible by the full device count with no
+        # cross-host over-padding.
+        self.n_devices = max(
+            1,
+            int(np.prod(self.mesh.devices.shape)) // jax.process_count(),
+        )
         self.checkpoints = CheckpointManager(
             chkpt_dir, model_name, keep_all=keep_all_checkpoints
         )
