@@ -44,6 +44,7 @@ class Train:
         precision: str = "bf16",
         n_data_parallel: Optional[int] = None,
         steps_per_dispatch: Optional[int] = None,
+        cache_eval_tokens: bool = False,
     ):
         """Train INTREPPPID end-to-end: AWD-LSTM encoder + MLP classifier
         with the orthologue triplet task, on TPU via JAX."""
@@ -100,4 +101,5 @@ class Train:
             precision=precision,
             n_data_parallel=n_data_parallel,
             steps_per_dispatch=steps_per_dispatch,
+            cache_eval_tokens=cache_eval_tokens,
         )

@@ -68,6 +68,7 @@ def train_e2e_rnn_triplet(
     precision: str = "bf16",
     n_data_parallel: Optional[int] = None,
     steps_per_dispatch: Optional[int] = None,
+    cache_eval_tokens: bool = False,
 ):
     # Multi-host bootstrap (idempotent; the CLI already calls it before
     # run naming). No-op without the JAX_COORDINATOR_* env / a pod slice.
@@ -134,6 +135,10 @@ def train_e2e_rnn_triplet(
         sos=False,
         eos=False,
         negative_omid=True,
+        # val/test tokenisation is deterministic (sampling off, reference
+        # `ppi_oma.py:305-308`), so their batches can be cached across
+        # epochs — a host-RAM-for-throughput trade the user opts into
+        cache_eval_tokens=cache_eval_tokens,
     )
     data_module.setup("training")
     steps_per_epoch = data_module.steps_per_epoch

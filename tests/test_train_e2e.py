@@ -335,3 +335,34 @@ def test_ablation_config_e2e(fixtures, tmp_path):
     # eval passes with the same params and the SAME key must agree, and the
     # params must include the triplet projection
     assert "triplet_projection" in trainer.params
+
+
+def test_cache_eval_tokens_flag_threads_to_datamodule(monkeypatch, tmp_path):
+    """--cache_eval_tokens reaches the data module (sentinel capture; no
+    training run needed)."""
+    import intrepppid_tpu.train.e2e_triplet as mod
+
+    captured = {}
+
+    class Sentinel(Exception):
+        pass
+
+    def fake_dm(**kw):
+        captured.update(kw)
+        raise Sentinel
+
+    monkeypatch.setattr(mod, "IntrepppidDataModule", fake_dm)
+    with pytest.raises(Sentinel):
+        mod.train_e2e_rnn_triplet(
+            vocab_size=250, trunc_len=100, embedding_size=8,
+            rnn_num_layers=1, rnn_dropout_rate=0.3,
+            variational_dropout=False, bi_reduce="last",
+            ppi_dataset_path=tmp_path / "x.h5",
+            sentencepiece_path=tmp_path / "x.model",
+            log_path=tmp_path / "logs", hyperparams_path=tmp_path / "hp.json",
+            chkpt_dir=tmp_path / "chkpt", c_type=3, model_name="t",
+            workers=0, embedding_droprate=0.3, do_rate=0.3, num_epochs=1,
+            batch_size=4, encoder_only_steps=-1, classifier_warm_up=-1,
+            beta_classifier=2.0, cache_eval_tokens=True,
+        )
+    assert captured["cache_eval_tokens"] is True
