@@ -80,6 +80,7 @@ class Eval:
             batch_sharding,
             initialize_distributed,
             make_mesh,
+            put_global_batch,
             replicated_sharding,
         )
 
@@ -132,7 +133,9 @@ class Eval:
         )
         rep = replicated_sharding(mesh)
         data_sh = batch_sharding(mesh)
-        params = jax.device_put(params, rep)
+        # multi-host safe replicated placement (device_put cannot target
+        # cross-process shardings; every process holds identical values)
+        params = put_global_batch(mesh, {"p": params}, sharding=rep)["p"]
 
         from intrepppid_tpu.parallel import stacked_batch_sharding
         from intrepppid_tpu.train.trainer import (
@@ -177,7 +180,12 @@ class Eval:
         sdata = stacked_batch_sharding(mesh)
         for batch, meta in it:
             sh = sdata if isinstance(meta, tuple) else data_sh
-            batch = {k: jax.device_put(v, sh) for k, v in batch.items()}
+            # multi-host aware: each process's rows are a SLICE of the
+            # global batch (the data module shards per process), so the
+            # global array must be assembled — put_global_batch picks
+            # make_array_from_process_local_data when process_count > 1
+            # and plain device_put otherwise
+            batch = put_global_batch(mesh, batch, sharding=sh)
             if isinstance(meta, tuple):
                 auxs = multi_eval_step(params, batch)
                 acc.add(auxs, np.asarray(meta, np.float64))

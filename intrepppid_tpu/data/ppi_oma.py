@@ -420,11 +420,19 @@ class IntrepppidDataModule:
         for start in range(0, n, self.batch_size):
             idx = order[start : start + self.batch_size]
             weight = None
+            global_rows = len(idx)
             if pc > 1:
                 idx, weight = shard_batch_rows(idx, pc, pid)
             batch = self._make_batch(ds, idx, sampling, t_bucket=t_bucket)
             if weight is not None:
                 batch["weight"] = weight
+            if pc > 1:
+                # the batch's REAL global row count — identical on every
+                # process, popped by padded_wire_batches so epoch metric
+                # weighting matches the single-host run exactly (local
+                # row counts include weight-0 filler and differ per
+                # process on uneven splits)
+                batch["_global_rows"] = np.int64(global_rows)
             if cache is not None:
                 cache.append(batch)
             yield batch

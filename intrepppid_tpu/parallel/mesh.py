@@ -31,12 +31,17 @@ def initialize_distributed(
 
     Call once per process before any jax operation. Arguments default to
     the standard environment (``JAX_COORDINATOR_ADDRESS`` /
-    ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``, or the Cloud-TPU metadata
-    jax auto-detects when all three are absent on a pod slice). Returns
-    True when a distributed runtime was (or already is) set up, False when
-    running single-host. After this, ``jax.devices()`` spans all hosts, so
-    :func:`make_mesh` builds a global mesh; batches must then be fed via
-    :func:`put_global_batch` (each process supplies its local rows).
+    ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``). When all three are
+    absent, nothing is attempted UNLESS ``INTREPPPID_TPU_DISTRIBUTED=auto``
+    is set, in which case a bare ``jax.distributed.initialize()`` runs and
+    jax auto-detects the cluster from the platform metadata (Cloud-TPU pod
+    slices, SLURM, ...) — auto-detection is opt-in because a bare
+    initialize on a plain single host can fail or hang depending on the
+    environment. Returns True when a distributed runtime was (or already
+    is) set up, False when running single-host. After this,
+    ``jax.devices()`` spans all hosts, so :func:`make_mesh` builds a
+    global mesh; batches must then be fed via :func:`put_global_batch`
+    (each process supplies its local rows).
     """
     global _distributed_initialized
     if _distributed_initialized:
@@ -51,7 +56,14 @@ def initialize_distributed(
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
     if coordinator_address is None and num_processes is None:
-        return False
+        if os.environ.get("INTREPPPID_TPU_DISTRIBUTED", "").lower() not in (
+            "auto",
+            "1",
+        ):
+            return False
+        jax.distributed.initialize()  # platform auto-detection
+        _distributed_initialized = True
+        return True
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -91,7 +103,10 @@ def broadcast_from_primary_str(value: str, max_len: int = 128) -> str:
     raw = value.encode("utf-8")[:max_len]
     buf[: len(raw)] = np.frombuffer(raw, np.uint8)
     out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
-    return bytes(out).rstrip(b"\x00").decode("utf-8")
+    # errors="ignore": the byte truncation above may split a multibyte
+    # character at the max_len boundary; drop the fragment instead of
+    # raising mid-collective on every process
+    return bytes(out).rstrip(b"\x00").decode("utf-8", errors="ignore")
 
 
 def put_global_batch(mesh: Mesh, batch, sharding=None):

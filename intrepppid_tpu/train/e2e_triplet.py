@@ -169,14 +169,18 @@ def train_e2e_rnn_triplet(
     dict_logger = DictLogger()
     dict_logger.log_hyperparams(hyperparameters)
     tb_writer = None
-    try:
-        from tensorboardX import SummaryWriter
+    # rank-zero: SummaryWriter creates an event file at CONSTRUCTION, so
+    # non-zero ranks would each leave a phantom empty run in the shared
+    # tensorboard directory even though Trainer._log is rank-guarded
+    if jax.process_index() == 0:
+        try:
+            from tensorboardX import SummaryWriter
 
-        tb_writer = SummaryWriter(
-            str(log_path / "tensorboard" / model_name)
-        )
-    except ImportError:
-        pass
+            tb_writer = SummaryWriter(
+                str(log_path / "tensorboard" / model_name)
+            )
+        except ImportError:
+            pass
 
     trainer = Trainer(
         net=net,

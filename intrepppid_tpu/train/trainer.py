@@ -131,10 +131,19 @@ def padded_wire_batches(it, n_devices: int, vocab_size: Optional[int]):
     (``compress_batch_for_wire``)."""
     target = 0
     for b in it:
+        # shallow copy: cached eval batches are yielded every epoch and
+        # must keep their ``_global_rows`` marker for the next pass
+        b = dict(b)
+        global_rows = b.pop("_global_rows", None)
         n = next(iter(b.values())).shape[0]
         target = max(target, -(-n // n_devices) * n_devices)
         b, true_b = pad_batch_to_size(b, target)
-        yield compress_batch_for_wire(b, vocab_size), true_b
+        # multi-host: weight epoch means by the batch's REAL global rows
+        # (identical on every process; local counts include weight-0
+        # shard filler and differ per process on uneven splits)
+        yield compress_batch_for_wire(b, vocab_size), (
+            int(global_rows) if global_rows is not None else true_b
+        )
 
 
 def _token_ref(batch: Dict[str, np.ndarray]) -> np.ndarray:

@@ -280,7 +280,8 @@ def run_real_datamodule(mesh):
         seed=42, sos=False, eos=False, negative_omid=True,
     )
     dm.setup()
-    local = next(iter(dm.val_batches()))
+    local = dict(next(iter(dm.val_batches())))
+    local.pop("_global_rows", None)  # consumed by padded_wire_batches
     local_rows = int(local["p1"].shape[0])
     n_real = int(local.get("weight", np.ones(local_rows)).sum())
     padded, _ = pad_batch_to_multiple(local, jax.device_count())

@@ -245,3 +245,49 @@ class TestMultiHostHelpers:
             batch_sharding(mesh), out["x"].ndim
         )
         np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])
+
+
+class TestDistributedBootstrapModes:
+    def test_auto_detect_opt_in(self, monkeypatch):
+        """INTREPPPID_TPU_DISTRIBUTED=auto triggers a bare
+        jax.distributed.initialize() (platform auto-detection on pod
+        slices); without it, no-env stays a no-op."""
+        import jax
+
+        import intrepppid_tpu.parallel.mesh as mesh_mod
+
+        calls = []
+        monkeypatch.setattr(mesh_mod, "_distributed_initialized", False)
+        monkeypatch.setattr(
+            jax.distributed, "initialize", lambda **kw: calls.append(kw)
+        )
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+        monkeypatch.setenv("INTREPPPID_TPU_DISTRIBUTED", "auto")
+        assert mesh_mod.initialize_distributed() is True
+        assert calls == [{}]  # bare call -> jax auto-detects the cluster
+
+
+def test_padded_wire_batches_uses_global_rows_marker():
+    """Multi-host epoch weighting: a batch carrying ``_global_rows`` (the
+    data module's real global row count) yields that as true_b, the
+    marker never reaches the device batch, and cached batches keep it
+    (shallow-copy semantics)."""
+    from intrepppid_tpu.train.trainer import padded_wire_batches
+
+    batch = {
+        "p1": np.ones((4, 16), np.int32),
+        "label": np.ones(4, np.int32),
+        "weight": np.array([1, 1, 1, 0], np.float32),
+        "_global_rows": np.int64(5),
+    }
+    out = list(padded_wire_batches(iter([batch]), 4, None))
+    assert len(out) == 1
+    wire, true_b = out[0]
+    assert true_b == 5
+    assert "_global_rows" not in wire
+    assert "_global_rows" in batch  # original dict untouched (eval cache)
+    # without the marker, true_b falls back to the local row count
+    plain = {"p1": np.ones((4, 16), np.int32), "label": np.ones(4, np.int32)}
+    (_, tb2), = list(padded_wire_batches(iter([plain]), 4, None))
+    assert tb2 == 4
