@@ -251,12 +251,15 @@ def run_trainer_fit(mesh, shared_dir):
     }
 
 
-def run_real_datamodule(mesh):
+def run_real_datamodule(mesh, shared_dir):
     """The REAL IntrepppidDataModule in multi-host mode: each process
     tokenizes only its slice of every global batch (`_iter_split`'s
     process-shard branch), feeds it through ``put_global_batch`` padded to
     the device count, and runs one weighted eval step — both processes
-    must see identical global losses. Returns (loss, local_rows, n_real)."""
+    must see identical global losses. Then a one-epoch ``Trainer.fit``
+    over the shipped module (stacked dispatch groups, shared checkpoint
+    dir) — the definitive pod-launch CI. Returns
+    (loss, local_rows, n_real, fit_metrics)."""
     from pathlib import Path
 
     import jax
@@ -288,7 +291,7 @@ def run_real_datamodule(mesh):
     batch = put_global_batch(mesh, padded, sharding=batch_sharding(mesh))
 
     net = intrepppid_network(
-        steps_per_epoch=1, num_epochs=1, vocab_size=38, embedding_size=E,
+        steps_per_epoch=3, num_epochs=1, vocab_size=38, embedding_size=E,
         optimizer_type="adamw",
     )
     params = put_global_batch(
@@ -303,7 +306,18 @@ def run_real_datamodule(mesh):
         in_shardings=(rep, batch_sharding(mesh)),
         out_shardings=rep,
     )(params, batch)
-    return float(loss), local_rows, n_real
+
+    # one-epoch fit straight off the shipped data module: K=2 stacking
+    # over 3 train batches (one stacked group + a single), shared ckpt dir
+    from intrepppid_tpu.train.trainer import Trainer
+    from intrepppid_tpu.utils.dictlogger import DictLogger
+
+    trainer = Trainer(
+        net, Path(shared_dir) / "dm_chkpt", "dmfit", seed=6, mesh=mesh,
+        swa=None, loggers=[DictLogger()], steps_per_dispatch=2,
+    )
+    fit_metrics = trainer.fit(dm)
+    return float(loss), local_rows, n_real, fit_metrics
 
 
 def main():
@@ -339,7 +353,9 @@ def main():
         out["mesh"], out["net"], out["params"], local_rows
     )
     fit_out = run_trainer_fit(out["mesh"], sys.argv[3])
-    dm_loss, dm_local_rows, dm_real = run_real_datamodule(out["mesh"])
+    dm_loss, dm_local_rows, dm_real, dm_fit = run_real_datamodule(
+        out["mesh"], sys.argv[3]
+    )
     print(json.dumps({
         "losses": out["losses"],
         "pipeline_loss": out["pipeline_loss"],
@@ -350,6 +366,7 @@ def main():
         "dm_loss": dm_loss,
         "dm_local_rows": dm_local_rows,
         "dm_real": dm_real,
+        "dm_fit": dm_fit,
     }), flush=True)
 
 

@@ -102,6 +102,14 @@ def test_real_datamodule_multihost(worker_results):
     assert r0["dm_real"] == r1["dm_real"] == 4
     assert np.isfinite(r0["dm_loss"])
     np.testing.assert_allclose(r0["dm_loss"], r1["dm_loss"], rtol=1e-6)
+    # one-epoch fit straight off the shipped module (stacked dispatch
+    # groups over the pinned top bucket): identical metrics on both ranks
+    assert r0["dm_fit"].keys() == r1["dm_fit"].keys()
+    assert "val_loss" in r0["dm_fit"]
+    for k in r0["dm_fit"]:
+        np.testing.assert_allclose(
+            r0["dm_fit"][k], r1["dm_fit"][k], rtol=1e-6, err_msg=f"dm_fit.{k}"
+        )
 
 
 def test_matches_single_process(worker_results):
