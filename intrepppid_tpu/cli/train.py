@@ -45,6 +45,7 @@ class Train:
         n_data_parallel: Optional[int] = None,
         steps_per_dispatch: Optional[int] = None,
         cache_eval_tokens: bool = False,
+        profile_dir: Optional[Path] = None,
     ):
         """Train INTREPPPID end-to-end: AWD-LSTM encoder + MLP classifier
         with the orthologue triplet task, on TPU via JAX."""
@@ -102,4 +103,5 @@ class Train:
             n_data_parallel=n_data_parallel,
             steps_per_dispatch=steps_per_dispatch,
             cache_eval_tokens=cache_eval_tokens,
+            profile_dir=profile_dir,
         )

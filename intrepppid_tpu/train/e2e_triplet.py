@@ -69,6 +69,7 @@ def train_e2e_rnn_triplet(
     n_data_parallel: Optional[int] = None,
     steps_per_dispatch: Optional[int] = None,
     cache_eval_tokens: bool = False,
+    profile_dir: Optional[Path] = None,
 ):
     # Multi-host bootstrap (idempotent; the CLI already calls it before
     # run naming). No-op without the JAX_COORDINATOR_* env / a pod slice.
@@ -193,6 +194,7 @@ def train_e2e_rnn_triplet(
         swa=SWAConfig(swa_lr=1e-2),
         mesh=mesh,
         steps_per_dispatch=steps_per_dispatch,
+        profile_dir=profile_dir,
     )
     trainer.init_state()
 

@@ -291,8 +291,13 @@ class Trainer:
         use_swa_lr_scale: bool = False,
         steps_per_dispatch: Optional[int] = None,
         keep_all_checkpoints: bool = False,
+        profile_dir=None,
     ):
         self.net = net
+        # profile_dir: trace the FIRST trained epoch (compiles + steady
+        # steps, bounded size) with jax.profiler into a TensorBoard-
+        # loadable profile; rank 0 only on pods
+        self.profile_dir = profile_dir
         self.seed = seed
         self.loggers = loggers if loggers is not None else [DictLogger()]
         self.tb_writer = tb_writer
@@ -590,7 +595,19 @@ class Trainer:
 
         data_sh = batch_sharding(self.mesh)
         last_val: Dict[str, float] = {}
+        profiling = False
         for epoch in range(self.start_epoch, self.net.num_epochs):
+            if (
+                self.profile_dir
+                and not profiling
+                and epoch == self.start_epoch
+                and jax.process_index() == 0
+            ):
+                try:
+                    jax.profiler.start_trace(str(self.profile_dir))
+                    profiling = True
+                except Exception:
+                    pass  # profiler unavailable on this backend: skip
             lr_scale = 1.0
             if self.swa is not None and self.use_swa_lr_scale:
                 lr_scale = self.swa.lr_scale(epoch, self.net.lr)
@@ -731,6 +748,12 @@ class Trainer:
             train_metrics["epoch_time_s"] = epoch_time
             train_metrics["seq_pairs_per_s"] = n_samples / max(epoch_time, 1e-9)
             self._log(train_metrics, self.global_step)
+
+            if profiling:
+                # the epoch sync above materialized all dispatched work,
+                # so the trace covers one full epoch end to end
+                jax.profiler.stop_trace()
+                profiling = False
 
             last_val = self._run_eval(
                 self.params, data_module.val_batches(), "val", self.global_step

@@ -366,3 +366,25 @@ def test_cache_eval_tokens_flag_threads_to_datamodule(monkeypatch, tmp_path):
             beta_classifier=2.0, cache_eval_tokens=True,
         )
     assert captured["cache_eval_tokens"] is True
+
+
+def test_profile_dir_writes_trace(fixtures, tmp_path):
+    """--profile_dir captures a jax.profiler trace of the first epoch."""
+    from intrepppid_tpu.train.e2e_triplet import train_e2e_rnn_triplet
+
+    train_e2e_rnn_triplet(
+        vocab_size=38, trunc_len=32, embedding_size=16, rnn_num_layers=1,
+        rnn_dropout_rate=0.3, variational_dropout=False, bi_reduce="last",
+        ppi_dataset_path=fixtures / "tiny.h5",
+        sentencepiece_path=fixtures / "tiny_spm.model",
+        log_path=tmp_path / "logs", hyperparams_path=tmp_path / "hp.json",
+        chkpt_dir=tmp_path / "chkpt", c_type=3, model_name="prof",
+        workers=0, embedding_droprate=0.3, do_rate=0.3, num_epochs=1,
+        batch_size=8, encoder_only_steps=-1, classifier_warm_up=-1,
+        beta_classifier=2.0, optimizer_type="adamw", seed=3,
+        precision="fp32", profile_dir=tmp_path / "prof",
+    )
+    traces = list((tmp_path / "prof").rglob("*.xplane.pb")) + list(
+        (tmp_path / "prof").rglob("*.trace.json.gz")
+    )
+    assert traces, "no profiler trace files written"
