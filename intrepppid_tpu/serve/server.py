@@ -5,6 +5,9 @@ packages). Endpoints:
 
 * ``GET /healthz`` — liveness + model manifest
   (``{"status": "ok", "model": {...}}``).
+* ``GET /statsz`` — serving metrics: request/pair/error totals, uptime,
+  and scoring latency quantiles (p50/p90/p99/mean over a sliding window
+  of the last 1024 scored requests).
 * ``POST /score`` — body ``{"pairs": [[seq_a, seq_b], ...]}`` or
   ``{"pairs": [{"seq_a": ..., "seq_b": ..., "id": ...}, ...]}``; returns
   ``{"probabilities": [...]}`` in input order, plus ``"ids"`` when the
@@ -19,8 +22,53 @@ handler calls the engine directly and requests serialize on its lock.
 from __future__ import annotations
 
 import json
+import threading
+import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional, Tuple
+
+
+class _Stats:
+    """Thread-safe serving counters + a sliding latency window."""
+
+    def __init__(self, window: int = 1024):
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.pairs = 0
+        self.errors = 0
+        self.t0 = time.time()
+        self._lat = deque(maxlen=window)
+
+    def record(self, n_pairs: int, dt_s: float, error: bool = False) -> None:
+        with self._lock:
+            self.requests += 1
+            if error:
+                self.errors += 1
+            else:
+                self.pairs += n_pairs
+                self._lat.append(dt_s)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = sorted(self._lat)
+            out = {
+                "requests": self.requests,
+                "pairs_scored": self.pairs,
+                "errors": self.errors,
+                "uptime_s": round(time.time() - self.t0, 3),
+            }
+        if lat:
+            def q(p):
+                return lat[min(len(lat) - 1, int(p * len(lat)))]
+
+            out["latency_ms"] = {
+                "mean": round(sum(lat) / len(lat) * 1e3, 3),
+                "p50": round(q(0.50) * 1e3, 3),
+                "p90": round(q(0.90) * 1e3, 3),
+                "p99": round(q(0.99) * 1e3, 3),
+            }
+        return out
 
 
 def _parse_pairs(payload) -> Tuple[List[Tuple[str, str]], Optional[list]]:
@@ -61,6 +109,7 @@ class PPIServer(ThreadingHTTPServer):
         self.engine = engine
         self.max_pairs = int(max_pairs)
         self.quiet = quiet
+        self.stats = _Stats()
         self._scorer = None
         if coalesce:
             from intrepppid_tpu.serve.coalesce import CoalescingScorer
@@ -98,6 +147,9 @@ class _Handler(BaseHTTPRequestHandler):
             super().log_message(fmt, *args)
 
     def do_GET(self):  # noqa: N802
+        if self.path == "/statsz":
+            self._send_json(200, self.server.stats.snapshot())
+            return
         if self.path != "/healthz":
             self._send_json(404, {"error": "not found"})
             return
@@ -136,12 +188,15 @@ class _Handler(BaseHTTPRequestHandler):
                 {"error": f"too many pairs (max {self.server.max_pairs})"},
             )
             return
+        t0 = time.perf_counter()
         try:
             probs = self.server.score(pairs)
         except Exception as e:  # scorer closed mid-shutdown, device error...
             # ...must surface as a JSON 500, not a dropped connection
+            self.server.stats.record(len(pairs), 0.0, error=True)
             self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
             return
+        self.server.stats.record(len(pairs), time.perf_counter() - t0)
         out = {"probabilities": [float(p) for p in probs]}
         if ids is not None:
             out["ids"] = ids

@@ -314,6 +314,16 @@ def test_http_server(served):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(f"{base}/nothing")
         assert ei.value.code == 404
+
+        # /statsz reflects the scored traffic above
+        with urllib.request.urlopen(f"{base}/statsz") as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] == 2
+        assert stats["pairs_scored"] == 4
+        assert stats["errors"] == 0
+        assert stats["uptime_s"] > 0
+        assert stats["latency_ms"]["p50"] > 0
+        assert stats["latency_ms"]["p99"] >= stats["latency_ms"]["p50"]
     finally:
         server.shutdown()
         server.server_close()
