@@ -89,7 +89,7 @@ class Serve:
         )
         print(
             f"intrepppid_tpu serving on http://{host}:{server.server_address[1]} "
-            f"(POST /score, GET /healthz)",
+            f"(POST /score, GET /healthz, GET /statsz)",
             flush=True,
         )
         if _block:

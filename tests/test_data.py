@@ -453,3 +453,27 @@ class TestMultiHostSharding:
         )
         dm.setup()
         return dm
+
+    def test_shard_batch_rows_invariants_random(self):
+        """Property sweep: for random (B, P), all processes produce equal
+        local shapes, real rows reassemble the original indices in order,
+        and the weight key is present on all processes or none."""
+        from intrepppid_tpu.data.ppi_oma import shard_batch_rows
+
+        rng = np.random.default_rng(7)
+        for _ in range(200):
+            B = int(rng.integers(1, 40))
+            P = int(rng.integers(1, 12))
+            idx = rng.permutation(1000)[:B]
+            locals_, weights = zip(
+                *(shard_batch_rows(idx, P, p) for p in range(P))
+            )
+            shapes = {l.shape for l in locals_}
+            assert len(shapes) == 1
+            has_w = {w is not None for w in weights}
+            assert len(has_w) == 1  # all or none
+            real = []
+            for l, w in zip(locals_, weights):
+                mask = np.ones(len(l), bool) if w is None else (w > 0)
+                real.extend(l[mask])
+            np.testing.assert_array_equal(real, idx)
