@@ -164,7 +164,9 @@ class Eval:
             out_shardings=rep,
         )
         batches = {
-            "train": lambda: dm.train_batches(0),
+            # eval semantics even on the train split: deterministic
+            # tokenisation, no shuffle (metrics reproducible across runs)
+            "train": dm.train_eval_batches,
             "val": dm.val_batches,
             "test": dm.test_batches,
         }[split]()

@@ -442,6 +442,16 @@ class IntrepppidDataModule:
     def train_batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         return self._iter_split(self.dataset_train, shuffle=True, sampling=True, epoch=epoch)
 
+    def train_eval_batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        """The train split under EVAL semantics: no shuffle, deterministic
+        tokenisation (subword sampling off). For scoring a checkpoint on
+        its training data (the eval CLI's ``--split train``) — the
+        training iterator's per-epoch sampling would make those metrics
+        stochastic across runs."""
+        return self._iter_split(
+            self.dataset_train, shuffle=False, sampling=False, epoch=0
+        )
+
     def val_batches(self) -> Iterator[Dict[str, np.ndarray]]:
         return self._iter_split(
             self.dataset_val, shuffle=False, sampling=False, epoch=0,

@@ -116,3 +116,31 @@ def test_eval_dispatch_stacking_matches_single(fixtures, tmp_path):
     m3 = Eval.e2e_rnn_triplet(steps_per_dispatch=3, **common)
     for k in m1:
         assert m3[k] == pytest.approx(m1[k], abs=1e-6), k
+
+
+def test_eval_train_split_deterministic(fixtures, tmp_path):
+    """eval --split train uses eval semantics: identical metrics across
+    invocations (train-iterator sampling would make them stochastic)."""
+    from intrepppid_tpu.cli.evaluate import Eval
+    from intrepppid_tpu.cli.train import Train
+
+    trainer, _ = Train.e2e_rnn_triplet(
+        ppi_dataset_path=fixtures / "tiny.h5",
+        sentencepiece_path=fixtures / "tiny_spm.model",
+        c_type=3, num_epochs=1, batch_size=8, seed=4, vocab_size=38,
+        trunc_len=48, embedding_size=16, workers=0,
+        log_path=tmp_path / "logs", optimizer_type="adamw", precision="fp32",
+    )
+    kw = dict(
+        checkpoint_path=trainer.checkpoints.best_checkpoint(),
+        ppi_dataset_path=fixtures / "tiny.h5",
+        sentencepiece_path=fixtures / "tiny_spm.model",
+        c_type=3,
+        split="train",
+        batch_size=8,
+        vocab_size=38, trunc_len=48, embedding_size=16, precision="fp32",
+    )
+    m1 = Eval.e2e_rnn_triplet(**kw)
+    m2 = Eval.e2e_rnn_triplet(**kw)
+    assert m1 == m2
+    assert "train_auroc" in m1
