@@ -444,10 +444,11 @@ void EnsurePieceWeights(Model* m, float alpha) {
     m->pw_generation.fetch_add(1, std::memory_order_release);
   }
   // Publish the new alpha BEFORE clearing the lattice cache: SampleEncode
-  // only inserts an entry while pw_alpha still equals its own alpha (under
-  // lat_mutex), so with this order a lattice built under the OLD tables
-  // either fails that check or lands before the clear and is wiped by it —
-  // stale entries can never survive into the new-alpha regime.
+  // only inserts an entry while pw_generation still equals the snapshot it
+  // took before building (under lat_mutex), so with this order a lattice
+  // built under the OLD tables either fails that generation check (the
+  // bump above happened first) or landed before the clear and is wiped by
+  // it — stale entries can never survive into the new regime.
   m->pw_alpha.store(alpha, std::memory_order_release);
   {
     // cached lattice masses bake in exp(alpha*score): invalidate on change

@@ -109,9 +109,15 @@ class TorchTripletReplica(nn.Module):
             e = self.embedder(x)
         if self.rnn_dropout_rate > 0.0:
             # fresh DropConnect mask per encoder call (weightdrop.py:84-111)
-            self.rnn.weight_hh_l0 = F.dropout(
+            w = F.dropout(
                 self.weight_hh_l0_raw, self.rnn_dropout_rate, self.training
             )
+            if isinstance(w, torch.nn.Parameter):
+                # eval: F.dropout returns its input unchanged; assigning the
+                # raw Parameter would re-register it under weight_hh_l0 and
+                # make the NEXT train-mode assignment raise TypeError
+                w = w * 1.0
+            self.rnn.weight_hh_l0 = w
         _, (hn, _) = self.rnn(e)
         if self.bi_reduce == "max":
             z = torch.max(hn[-2:], dim=0).values

@@ -25,7 +25,8 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 FIXTURES = Path(__file__).parent.parent / "tests" / "fixtures"
-NUM_EPOCHS = 20  # swa_start = int(0.8*20)-1 = 15 -> 4 averaged epochs
+NUM_EPOCHS = 20  # swa_start = int(0.8*20)-1 = 15; the end-of-epoch hook
+# averages at epochs 14..18 -> 5 averaged terms
 SEEDS = (0, 1)
 
 
@@ -70,8 +71,9 @@ def main():
     # NO-OP by construction (it anneals toward swa_lrs=1e-2 == base lr, so
     # the multiplier is identically 1.0) — measured identical results.
     # The desync question only arises when base lr != swa_lr, so the
-    # informative arms run ranger21 at 5e-2 (scale anneals 1 -> 0.2) and
-    # adamw at 3e-3 (scale anneals 1 -> ~3.3).
+    # informative arms run ranger21 at 5e-2 (scale anneals from 1 toward
+    # 0.2, reaching ~0.72 in the 5-epoch window of the 10-epoch cosine)
+    # and adamw at 3e-3 (toward ~3.3, reaching ~1.8 in-window).
     arms = [
         ("ranger21_xx", False, 1e-2),
         ("ranger21_xx", True, 1e-2),

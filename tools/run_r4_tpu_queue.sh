@@ -10,8 +10,10 @@
 # Usage: bash tools/run_r4_tpu_queue.sh [outdir]
 set -u
 OUT=${1:-/tmp/r4_tpu_queue}
-mkdir -p "$OUT"
+# cd FIRST so a relative outdir resolves to the same place for this mkdir
+# and for every log redirect below (they run from the repo root)
 cd "$(dirname "$0")/.."
+mkdir -p "$OUT"
 
 # This host has ONE core: starting measurements while something heavy runs
 # (a pytest suite, a build) contaminates every number. Wait (bounded 30 min)
