@@ -62,6 +62,11 @@ class ScoringEngine:
         self.net = net
         self.params = params
         self.spp = tokenizer
+        # fail loudly if the tokenizer can emit ids past the embedding
+        # table (jnp.take fills out-of-range with NaN — silent NaN scores)
+        validate = getattr(tokenizer, "validate_vocab_size", None)
+        if validate is not None:
+            validate(net.cfg.encoder.vocab_size)
         self.trunc_len = int(trunc_len)
         self.batch_size = int(batch_size)
         self.sampling = bool(sampling)

@@ -33,7 +33,8 @@ import numpy as np
 
 _SMOKE = os.environ.get("INTREPPPID_SERVE_SMOKE") == "1"
 TRUNC = 64 if _SMOKE else 1500
-VOCAB = 250
+VOCAB = 258  # golden_spm.model defines 258 pieces; anything smaller
+# would send out-of-range ids into the embedding lookup (NaN fill)
 EMBED = 16 if _SMOKE else 64
 BATCH = 4 if _SMOKE else 64
 N_PAIRS = 32 if _SMOKE else 512
