@@ -384,3 +384,15 @@ def test_serve_cli_help_surface():
     text = buf.getvalue()
     assert "--weights_path" in text and "--warmup" in text
     assert "_block" not in text
+
+
+def test_engine_rejects_undersized_vocab(served, fixtures):
+    """ScoringEngine must fail loudly when the tokenizer can emit ids past
+    the network's embedding table (silent NaN scores otherwise)."""
+    from intrepppid_tpu.models.factory import intrepppid_network
+    from intrepppid_tpu.serve import ScoringEngine
+
+    _, _, _, engine = served
+    small_net = intrepppid_network(0, vocab_size=20, embedding_size=8)
+    with pytest.raises(ValueError, match="vocab_size"):
+        ScoringEngine(small_net, None, engine.spp, trunc_len=32, batch_size=2)
