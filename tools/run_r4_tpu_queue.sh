@@ -25,6 +25,15 @@ for i in $(seq 1 60); do
   sleep 30
 done
 
+# Insurance against a short tunnel window: capture ONE bench number first
+# (current defaults). The decisive bench still runs after the experiments
+# apply their measured defaults; refresh falls back to this log only if
+# that one failed.
+echo "== early bench (insurance) =="
+timeout 2400 python bench.py >"$OUT/bench_early.log" 2>&1
+echo "bench_early rc=$? (log: $OUT/bench_early.log)"
+tail -3 "$OUT/bench_early.log"
+
 echo "== pack_boundary experiment =="
 timeout 2400 python tools/experiment_pack_boundary.py \
   >"$OUT/pack_boundary.log" 2>&1
@@ -61,7 +70,12 @@ echo "bench rc=$? (log: $OUT/bench.log)"
 tail -3 "$OUT/bench.log"
 
 echo "== refresh perf claims from the captured bench =="
-timeout 300 python tools/refresh_perf_claims.py "$OUT/bench.log" --apply \
+BENCH_LOG="$OUT/bench.log"
+if ! grep -q '"metric"' "$BENCH_LOG" 2>/dev/null; then
+  echo "decisive bench has no JSON line; falling back to bench_early.log"
+  BENCH_LOG="$OUT/bench_early.log"
+fi
+timeout 300 python tools/refresh_perf_claims.py "$BENCH_LOG" --apply \
   >"$OUT/refresh_claims.log" 2>&1
 echo "refresh rc=$? (log: $OUT/refresh_claims.log)"
 tail -8 "$OUT/refresh_claims.log"
