@@ -32,6 +32,7 @@ class Serve:
         max_pairs: int = 4096,
         warmup: bool = True,
         coalesce: bool = True,
+        allow_reload: bool = False,
         sequences_path: Optional[Path] = None,
         token_cache_size: int = 65536,
         _block: bool = True,
@@ -45,7 +46,10 @@ class Serve:
         ``--coalesce`` (default on) merges concurrent requests into shared
         device dispatches. ``--sequences_path`` pre-tokenizes a FASTA
         (e.g. the serving proteome) into the token cache so request-time
-        encoding is a pure cache hit.
+        encoding is a pure cache hit. ``--allow_reload`` enables
+        ``POST /reload``: re-read ``weights_path`` (e.g. after training
+        wrote a fresh checkpoint there) and swap the model in with zero
+        downtime — the path is fixed at startup, requests cannot change it.
         """
         from intrepppid_tpu.utils.jax_cache import enable_compilation_cache
 
@@ -83,9 +87,12 @@ class Serve:
             print(f"preloaded {n} sequences into the token cache", flush=True)
         if warmup:
             engine.warmup()
+        reload_cb = (
+            (lambda: _load_params(weights_path, net)) if allow_reload else None
+        )
         server = PPIServer(
             engine, host=host, port=port, max_pairs=max_pairs,
-            coalesce=coalesce,
+            coalesce=coalesce, reload_cb=reload_cb,
         )
         print(
             f"intrepppid_tpu serving on http://{host}:{server.server_address[1]} "

@@ -74,13 +74,18 @@ class ScoringEngine:
         self._compress = compress_batch_for_wire
         self._vocab = net.cfg.encoder.vocab_size
 
-        def _probs_wire(wire):
+        # params enter as a call ARGUMENT, not a closure: closed-over
+        # arrays bake into the executable as constants (recompile on every
+        # swap_params, and big constants inflate remote-compile bodies);
+        # as an argument the same executable serves every loaded model
+        def _probs_wire(p, wire):
             b = widen_batch(wire)
             return jax.nn.sigmoid(
-                net.forward(params, b["p1"], b["p2"], train=False)
+                net.forward(p, b["p1"], b["p2"], train=False)
             )
 
-        self._probs = jax.jit(_probs_wire)
+        self._probs_fn = jax.jit(_probs_wire)
+        self._probs = lambda wire: self._probs_fn(self.params, wire)
         self._lock = threading.Lock()
         # raw sequence -> (trunc_len,) int32 token row; only valid for the
         # deterministic path (sampling re-draws per call by contract)
@@ -126,6 +131,16 @@ class ScoringEngine:
             while len(self._cache) > self._cache_cap:
                 self._cache.popitem(last=False)
         return out
+
+    # -------------------------------------------------------------- reload
+    def swap_params(self, params) -> None:
+        """Swap in a new parameter tree (same architecture) — zero-downtime
+        model update: serializes with in-flight ``score_pairs`` on the
+        engine lock, reuses the compiled executable (params are a call
+        argument, so no recompile), and keeps the token cache (tokenization
+        is model-independent)."""
+        with self._lock:
+            self.params = params
 
     # ------------------------------------------------------------- preload
     def preload(self, named_seqs) -> int:

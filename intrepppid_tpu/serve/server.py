@@ -8,6 +8,12 @@ packages). Endpoints:
 * ``GET /statsz`` — serving metrics: request/pair/error totals, uptime,
   and scoring latency quantiles (p50/p90/p99/mean over a sliding window
   of the last 1024 scored requests).
+* ``POST /reload`` — re-load the model weights from the path the server
+  was started with and swap them in with zero downtime (train writes a
+  new checkpoint, serve picks it up). Only enabled when a ``reload_cb``
+  was provided (the CLI's ``--allow_reload``); otherwise 403. The body is
+  ignored — the path is fixed at startup, so a request can never point
+  the server at an attacker-chosen file.
 * ``POST /score`` — body ``{"pairs": [[seq_a, seq_b], ...]}`` or
   ``{"pairs": [{"seq_a": ..., "seq_b": ..., "id": ...}, ...]}``; returns
   ``{"probabilities": [...]}`` in input order, plus ``"ids"`` when the
@@ -105,11 +111,14 @@ class PPIServer(ThreadingHTTPServer):
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 8000,
                  max_pairs: int = 4096, quiet: bool = False,
-                 coalesce: bool = True):
+                 coalesce: bool = True, reload_cb=None):
         self.engine = engine
         self.max_pairs = int(max_pairs)
         self.quiet = quiet
         self.stats = _Stats()
+        # zero-arg callable loading fresh params for engine.swap_params;
+        # None disables POST /reload entirely
+        self.reload_cb = reload_cb
         self._scorer = None
         if coalesce:
             from intrepppid_tpu.serve.coalesce import CoalescingScorer
@@ -172,6 +181,17 @@ class _Handler(BaseHTTPRequestHandler):
         )
 
     def do_POST(self):  # noqa: N802
+        if self.path == "/reload":
+            if self.server.reload_cb is None:
+                self._send_json(403, {"error": "reload not enabled"})
+                return
+            try:
+                self.server.engine.swap_params(self.server.reload_cb())
+            except Exception as e:
+                self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            self._send_json(200, {"reloaded": True})
+            return
         if self.path != "/score":
             self._send_json(404, {"error": "not found"})
             return

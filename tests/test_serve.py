@@ -396,3 +396,73 @@ def test_engine_rejects_undersized_vocab(served, fixtures):
     small_net = intrepppid_network(0, vocab_size=20, embedding_size=8)
     with pytest.raises(ValueError, match="vocab_size"):
         ScoringEngine(small_net, None, engine.spp, trunc_len=32, batch_size=2)
+
+
+def test_engine_swap_params(served):
+    """Zero-downtime reload: new params change the scores (same compiled
+    executable), swapping the originals back restores them bitwise."""
+    import jax
+
+    from intrepppid_tpu.models.factory import intrepppid_network
+
+    net, params, _, engine = served
+    rng = np.random.default_rng(31)
+    pairs = [(_mk_seq(rng, 18), _mk_seq(rng, 27))]
+    before = engine.score_pairs(pairs)
+    other = net.init(jax.random.PRNGKey(99))
+    engine.swap_params(other)
+    swapped = engine.score_pairs(pairs)
+    assert not np.array_equal(before, swapped)
+    engine.swap_params(params)
+    np.testing.assert_array_equal(engine.score_pairs(pairs), before)
+
+
+def test_http_reload_endpoint(served):
+    import jax
+
+    from intrepppid_tpu.serve import PPIServer
+
+    net, params, _, engine = served
+    fresh = net.init(jax.random.PRNGKey(123))
+    server = PPIServer(
+        engine, host="127.0.0.1", port=0, quiet=True, coalesce=False,
+        reload_cb=lambda: fresh,
+    )
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    rng = np.random.default_rng(37)
+    pairs = [(_mk_seq(rng, 22), _mk_seq(rng, 16))]
+    try:
+        st, before = _post(f"{base}/score", {"pairs": [list(pairs[0])]})
+        assert st == 200
+        st, out = _post(f"{base}/reload", {})
+        assert st == 200 and out == {"reloaded": True}
+        st, after = _post(f"{base}/score", {"pairs": [list(pairs[0])]})
+        assert st == 200
+        assert before["probabilities"] != after["probabilities"]
+    finally:
+        server.shutdown()
+        server.server_close()
+        t.join(timeout=10)
+        engine.swap_params(params)  # restore for other tests
+
+
+def test_http_reload_disabled_by_default(served):
+    from intrepppid_tpu.serve import PPIServer
+
+    _, _, _, engine = served
+    server = PPIServer(engine, host="127.0.0.1", port=0, quiet=True,
+                       coalesce=False)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"http://127.0.0.1:{port}/reload", {})
+        assert ei.value.code == 403
+    finally:
+        server.shutdown()
+        server.server_close()
+        t.join(timeout=10)
