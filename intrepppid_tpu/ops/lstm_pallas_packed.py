@@ -64,9 +64,13 @@ PACK_CS = True
 # layers emit ONE (Tp, B, 2H) ys stream (consumed by the upper layer's
 # forward under both maps, by their own backward as the packed hp, and
 # mirrored by pair-packed dx/dy cotangent streams in the stack VJP).
-# Requires PACK_CS. Default OFF: CPU-interpret-validated (bitwise vs the
-# unpacked boundary in tests) but not yet Mosaic-compiled or measured on
-# the TPU — flip after tools/experiment_pack_boundary.py records a win.
+# Requires PACK_CS. Default OFF — measured and rejected on TPU v5e:
+# tools/experiment_pack_boundary.py recorded 1.014x (16.81 -> 16.58 ms
+# best-of-7, bitwise gradient parity; measurements/r4/pack_boundary.log),
+# inside the run-to-run noise band. At 2 layers there is exactly one
+# boundary and the sweeps are already DMA-pipelined, so the single saved
+# DMA per sweep doesn't show. Kept (validated) for deeper stacks where
+# the boundary count grows.
 PACK_BOUNDARY = False
 
 # ----------------------------------------------------------- weight packing
