@@ -171,7 +171,7 @@ def apply_dispatch_k(best_k: int, table) -> bool:
 def record_in_perf_doc(decisions) -> bool:
     """Append the measured verdicts as a section in docs/performance.md
     (idempotent: skipped if the section is already there)."""
-    marker = "## Round-4 queue verdicts (measured on-chip)"
+    marker = "## Serialized-queue verdicts (measured on-chip)"
     src = PERF_DOC.read_text()
     if marker in src:
         return False

@@ -5,14 +5,22 @@ manuscript model shape with synthetic sequences:
 
 1. **engine-direct**: `ScoringEngine.score_pairs` on pre-tokenized-cache
    misses and hits (the resident-server steady state),
-2. **HTTP, concurrent clients**: N threads POSTing small requests against
-   a live `PPIServer` with coalescing on — the continuous-batching
-   steady state, where the effective batch self-tunes to the arrival
-   rate.
+2. **HTTP concurrency sweep, coalescing ON vs OFF**: N client threads
+   POSTing small (4-pair) requests against a live `PPIServer`. With
+   coalescing, concurrent requests merge into one device dispatch — the
+   continuous-batching steady state, where the effective batch self-tunes
+   to the arrival rate. The OFF arm dispatches each request alone, which
+   is the reference's batch-of-1 `infer` shape
+   (/root/reference/intrepppid/cli/infer.py:216-227 scores pairs one
+   batch at a time with no cross-request batching at all).
 
 Serving dispatches are eval forwards (no grad, no optimizer); on
 tunnelled platforms the ~45 ms per-dispatch runtime overhead dominates a
 small-batch forward, which is exactly what coalescing amortises.
+
+The last line is a machine-readable summary:
+``SERVE_BENCH {...json...}`` (pairs/s per arm), consumed by the r5 queue
+and docs/performance.md's Serving section.
 
 Usage: python tools/bench_serve.py  (on the TPU; INTREPPPID_SERVE_SMOKE=1
 shrinks shapes for a CPU pre-flight)
@@ -38,7 +46,8 @@ VOCAB = 258  # golden_spm.model defines 258 pieces; anything smaller
 EMBED = 16 if _SMOKE else 64
 BATCH = 4 if _SMOKE else 64
 N_PAIRS = 32 if _SMOKE else 512
-N_CLIENTS = 4 if _SMOKE else 8
+REQ_SIZE = 4  # small requests: the coalescer must do the batching
+CLIENT_SWEEP = (1, 4) if _SMOKE else (1, 2, 4, 8)
 AAS = "ACDEFGHIKLMNPQRSTVWY"
 
 
@@ -47,6 +56,41 @@ def _mk_seqs(rng, n, lo, hi):
         "".join(rng.choice(list(AAS)) for _ in range(rng.integers(lo, hi)))
         for _ in range(n)
     ]
+
+
+def _http_round(port, pairs, n_clients):
+    """All clients drain their share of ``pairs`` in REQ_SIZE chunks;
+    returns wall seconds."""
+    per_client = len(pairs) // n_clients
+
+    def client(idx, out):
+        my = pairs[idx * per_client : (idx + 1) * per_client]
+        n = 0
+        for i in range(0, len(my), REQ_SIZE):
+            body = json.dumps(
+                {"pairs": [list(p) for p in my[i : i + REQ_SIZE]]}
+            ).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/score", data=body,
+                headers={"Content-Type": "application/json"}, method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                n += len(json.loads(r.read())["probabilities"])
+        out[idx] = n
+
+    out = {}
+    threads = [
+        threading.Thread(target=client, args=(i, out))
+        for i in range(n_clients)
+    ]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    assert sum(out.values()) == per_client * n_clients
+    return dt, per_client * n_clients
 
 
 def main():
@@ -76,11 +120,16 @@ def main():
         (seqs[rng.integers(len(seqs))], seqs[rng.integers(len(seqs))])
         for _ in range(N_PAIRS)
     ]
+    results = {
+        "trunc_len": TRUNC, "batch": BATCH, "n_pairs": N_PAIRS,
+        "req_size": REQ_SIZE,
+    }
 
     print(f"warmup (compile, batch {BATCH}, T={TRUNC})...", flush=True)
     t0 = time.perf_counter()
     engine.warmup()
-    print(f"  {time.perf_counter() - t0:.1f} s", flush=True)
+    results["warmup_s"] = round(time.perf_counter() - t0, 1)
+    print(f"  {results['warmup_s']} s", flush=True)
 
     # --- engine-direct (first pass fills the token cache, second is hits)
     for tag in ("cache-miss", "cache-hit"):
@@ -91,59 +140,51 @@ def main():
             best = min(best, time.perf_counter() - t0)
             if tag == "cache-miss":
                 break  # misses only exist once
+        results[f"engine_direct_{tag.replace('-', '_')}"] = round(
+            N_PAIRS / best
+        )
         print(f"engine-direct [{tag}]: {N_PAIRS / best:.0f} pairs/s "
               f"({best * 1e3:.0f} ms / {N_PAIRS} pairs)", flush=True)
 
-    # --- HTTP with concurrent small requests (coalescing on)
-    server = PPIServer(engine, host="127.0.0.1", port=0, quiet=True)
-    port = server.server_address[1]
-    st = threading.Thread(target=server.serve_forever, daemon=True)
-    st.start()
-    per_client = N_PAIRS // N_CLIENTS
-    req_size = 4  # small requests: the coalescer must do the batching
-
-    def client(idx, out):
-        my = pairs[idx * per_client : (idx + 1) * per_client]
-        n = 0
-        for i in range(0, len(my), req_size):
-            body = json.dumps(
-                {"pairs": [list(p) for p in my[i : i + req_size]]}
-            ).encode()
-            req = urllib.request.Request(
-                f"http://127.0.0.1:{port}/score", data=body,
-                headers={"Content-Type": "application/json"}, method="POST",
-            )
-            with urllib.request.urlopen(req) as r:
-                n += len(json.loads(r.read())["probabilities"])
-        out[idx] = n
-
-    try:
-        best = float("inf")
-        for _ in range(3):
-            out = {}
-            threads = [
-                threading.Thread(target=client, args=(i, out))
-                for i in range(N_CLIENTS)
-            ]
-            t0 = time.perf_counter()
-            for t in threads:
-                t.start()
-            for t in threads:
-                t.join()
-            dt = time.perf_counter() - t0
-            assert sum(out.values()) == per_client * N_CLIENTS
-            best = min(best, dt)
-        total = per_client * N_CLIENTS
-        print(
-            f"HTTP x{N_CLIENTS} clients, {req_size}-pair requests, "
-            f"coalescing: {total / best:.0f} pairs/s "
-            f"({best * 1e3:.0f} ms / {total} pairs)",
-            flush=True,
+    # --- HTTP concurrency sweep, coalescing ON vs OFF. The OFF arm pays
+    # one device dispatch per 4-pair request; bound its wall time with a
+    # smaller pair budget and a single round.
+    for coalesce in (True, False):
+        arm = "coal" if coalesce else "nocoal"
+        arm_pairs = pairs if coalesce else pairs[: max(
+            REQ_SIZE * 8, N_PAIRS // 4
+        )]
+        rounds = 3 if coalesce else 1
+        server = PPIServer(
+            engine, host="127.0.0.1", port=0, quiet=True, coalesce=coalesce
         )
-    finally:
-        server.shutdown()
-        server.server_close()
-        st.join(timeout=10)
+        port = server.server_address[1]
+        st = threading.Thread(target=server.serve_forever, daemon=True)
+        st.start()
+        try:
+            for n_clients in CLIENT_SWEEP:
+                usable = arm_pairs[
+                    : len(arm_pairs) // n_clients * n_clients
+                ]
+                best, total = float("inf"), 0
+                for _ in range(rounds):
+                    dt, total = _http_round(port, usable, n_clients)
+                    best = min(best, dt)
+                rate = total / best
+                results[f"http_{arm}_c{n_clients}"] = round(rate)
+                label = "coalescing" if coalesce else "no coalescing"
+                print(
+                    f"HTTP x{n_clients} clients, {REQ_SIZE}-pair requests, "
+                    f"{label}: {rate:.0f} pairs/s "
+                    f"({best * 1e3:.0f} ms / {total} pairs)",
+                    flush=True,
+                )
+        finally:
+            server.shutdown()
+            server.server_close()
+            st.join(timeout=10)
+
+    print("SERVE_BENCH " + json.dumps(results), flush=True)
 
 
 if __name__ == "__main__":
