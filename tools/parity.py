@@ -145,9 +145,13 @@ def run(args) -> int:
         seed=args.seed,
         vocab_size=args.vocab_size,
         trunc_len=args.trunc_len,
+        embedding_size=args.embedding_size,
+        beta_classifier=args.beta_classifier,
+        lr=args.lr,
         workers=args.workers,
         log_path=args.log_path,
-        optimizer_type="ranger21_xx",
+        optimizer_type=args.optimizer_type,
+        precision=args.precision,
     )
     runs = sorted(
         (d for d in Path(args.log_path).iterdir()
@@ -178,6 +182,17 @@ def main(argv=None) -> int:
     pr.add_argument("--trunc_len", type=int, default=1500)
     pr.add_argument("--workers", type=int, default=4)
     pr.add_argument("--log_path", type=Path, default=Path("./parity_logs"))
+    # shape/optimizer overrides so the harness can also drive the
+    # synthetic CPU-scale execution (tools/run_parity_synth.py); the
+    # defaults remain the manuscript configuration
+    pr.add_argument("--embedding_size", type=int, default=64)
+    pr.add_argument("--beta_classifier", type=float, default=4.0)
+    pr.add_argument(
+        "--lr", default=1e-2,
+        type=lambda v: v if v == "auto" else float(v),
+    )
+    pr.add_argument("--optimizer_type", default="ranger21_xx")
+    pr.add_argument("--precision", default="bf16")
 
     pc = sub.add_parser("compare", help="diff two metrics.json, pass/fail vs budget")
     pc.add_argument("--ours", required=True, type=Path)
