@@ -213,8 +213,8 @@ def resolve_steps_per_dispatch(value: Optional[int]) -> int:
     """``None`` -> platform-aware default (VERDICT r1 weak #5): on TPU-class
     backends each host->device dispatch costs ~45 ms through the runtime
     (partially hidden by async dispatch pipelining), so batching K train
-    steps per dispatch shaves per-step wall-clock; measured 27.0/25.9/26.0
-    ms/step at K=5/10/20 on the bench config — K=10 is the knee. On CPU
+    steps per dispatch shaves per-step wall-clock; measured 17.8/17.7/17.8/17.8
+    ms/step at K=5/10/20/40 on the bench config (v6.3-kernel re-sweep) — K=5 is the knee. On CPU
     dispatch is cheap and K=1 keeps logging/bucket granularity."""
     if value is not None:
         return max(int(value), 1)
@@ -222,7 +222,7 @@ def resolve_steps_per_dispatch(value: Optional[int]) -> int:
     # per-dispatch runtime round trip, so default to stacking; keying on
     # "not cpu" instead of an allowlist of platform names survives renames
     # (VERDICT r2 weak #5 — the old check listed "tpu"/"axon" by string).
-    return 1 if jax.devices()[0].platform.lower() == "cpu" else 10
+    return 1 if jax.devices()[0].platform.lower() == "cpu" else 5
 
 
 METRIC_KEYS = (
