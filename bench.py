@@ -275,7 +275,7 @@ def epoch_bench(step_pairs_per_s: float):
         net = intrepppid_network(
             steps_per_epoch=dm.steps_per_epoch,
             vocab_size=258,
-            num_epochs=4,
+            num_epochs=6,
             optimizer_type="ranger21_xx",
             compute_dtype=jnp.bfloat16,
         )
@@ -297,9 +297,11 @@ def epoch_bench(step_pairs_per_s: float):
         rates = [e["value"] for e in logger.metrics.get("seq_pairs_per_s", [])]
         if not rates:
             return None, None, None, None, None
-        # best of the compile-free epochs (2..4): single-epoch timings on
-        # the shared/tunnelled platform swing up to ~30% between minutes;
-        # min/max over the same warm epochs expose that band in the artifact
+        # best of the compile-free epochs (2..6): single-epoch timings on
+        # the shared/tunnelled platform swing up to ~30% between minutes
+        # (the r5 capture had 2 of 4 epochs inside a contention window), so
+        # a wider warm sample keeps the headline from being hostage to one
+        # bad minute; min/max over the same warm epochs expose the band
         warm_rates = rates[1:] if len(rates) > 1 else rates[-1:]
         warm = max(warm_rates)
         # bottleneck attribution: compare against the device-only step rate
