@@ -415,9 +415,11 @@ def _iter_row_batches(interactions_path, get_embed, batch_size, opener, mode):
                     )
                     if e is None
                 ]
+                # str(): a short CSV row leaves id_b as None, which must
+                # land in the skip report, not crash the formatting of it
                 print(
                     f"Can't compute pair id: {row['itx_id']} "
-                    f"(missing sequences: {', '.join(missing)})"
+                    f"(missing sequences: {', '.join(map(str, missing))})"
                 )
                 continue
             buf.append((row["itx_id"], embed_a, embed_b))

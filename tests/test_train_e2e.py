@@ -199,6 +199,21 @@ def test_infer_stacked_dispatch_matches_single(trained, fixtures, tmp_path):
     assert ids == [f"itx{i}" for i in range(9)]  # input order preserved
 
 
+def test_infer_short_csv_row_skipped_not_crashed(tmp_path):
+    """A malformed interactions row (fewer than 3 columns leaves id_b as
+    None) must be reported and skipped like any missing sequence — the skip
+    report's join used to crash on the None before reporting it."""
+    from intrepppid_tpu.cli.infer import _iter_row_batches
+
+    pairs = tmp_path / "p.csv"
+    pairs.write_text("x0,A,B\nx1,A\nx2,A,MISSING\n")
+    embeds = {"A": [1.0], "B": [2.0]}
+    batches = list(
+        _iter_row_batches(pairs, embeds.get, 4, open, "r")
+    )
+    assert [row[0] for b in batches for row in b] == ["x0"]
+
+
 def test_infer_low_memory_mode(trained, fixtures, tmp_path):
     import h5py
 
