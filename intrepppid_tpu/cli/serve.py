@@ -24,6 +24,7 @@ class Serve:
         port: int = 8000,
         trunc_len: int = 1500,
         batch_size: int = 16,
+        bulk_batch_size: int = 400,
         sampling: bool = False,
         vocab_size: int = 250,
         embedding_size: int = 64,
@@ -77,6 +78,7 @@ class Serve:
             spp,
             trunc_len=trunc_len,
             batch_size=batch_size,
+            bulk_batch_size=bulk_batch_size,
             sampling=sampling,
             token_cache_size=token_cache_size,
         )

@@ -17,6 +17,11 @@ paths use —
 * length bucketing + fixed-shape batch padding so every dispatch reuses a
   compiled executable (a fresh shape costs a full compile — minutes on
   remote-compile platforms),
+* a two-shape batch ladder: requests up to ``batch_size`` dispatch at the
+  small latency shape; anything larger chunks at ``bulk_batch_size``
+  (measured on-chip: dispatch cost is round-trip/wire-dominated — ~29 ms
+  at B=16 vs ~50 ms at B=400 — so the bulk shape is ~5× the pairs/s and
+  padding a part-full bulk chunk is cheaper than two small dispatches),
 * the bit-plane wire format and in-graph sigmoid (one device dispatch per
   batch end-to-end; tunnelled transfers move ~30 MB/s, so wire bytes are
   wall time),
@@ -48,6 +53,7 @@ class ScoringEngine:
         *,
         trunc_len: int = 1500,
         batch_size: int = 16,
+        bulk_batch_size: int = 400,
         sampling: bool = False,
         token_cache_size: int = 65536,
     ):
@@ -69,6 +75,12 @@ class ScoringEngine:
             validate(net.cfg.encoder.vocab_size)
         self.trunc_len = int(trunc_len)
         self.batch_size = int(batch_size)
+        # bulk shape for >batch_size requests; 0 disables the ladder.
+        # Never smaller than batch_size (a "bulk" below the small shape
+        # would invert the ladder's cost model).
+        self.bulk_batch_size = max(int(bulk_batch_size), self.batch_size)
+        if int(bulk_batch_size) <= 0:
+            self.bulk_batch_size = 0
         self.sampling = bool(sampling)
         self.buckets = default_buckets(self.trunc_len)
         self._compress = compress_batch_for_wire
@@ -176,16 +188,21 @@ class ScoringEngine:
 
     # -------------------------------------------------------------- warmup
     def warmup(self) -> None:
-        """Compile the worst-case dispatch shape (full batch at the top
-        length bucket — the shape every request can fall back to) before
-        serving, so no request pays the first compile. Synthetic full-length
-        token rows force the top bucket regardless of how the tokenizer
-        merges a real sequence."""
+        """Compile the worst-case dispatch shapes (full small batch and,
+        when the ladder is on, full bulk batch, both at the top length
+        bucket — the shapes every request can fall back to) before serving,
+        so no request pays the first compile. Synthetic full-length token
+        rows force the top bucket regardless of how the tokenizer merges a
+        real sequence."""
         row = np.ones((self.trunc_len,), np.int32)
-        xa = np.tile(row, (self.batch_size, 1))
-        wire = self._compress({"p1": xa, "p2": xa.copy()}, self._vocab)
-        with self._lock:  # serialize with any in-flight score_pairs
-            np.asarray(self._probs(wire))
+        sizes = [self.batch_size]
+        if self.bulk_batch_size > self.batch_size:
+            sizes.append(self.bulk_batch_size)
+        for b in sizes:
+            xa = np.tile(row, (b, 1))
+            wire = self._compress({"p1": xa, "p2": xa.copy()}, self._vocab)
+            with self._lock:  # serialize with any in-flight score_pairs
+                np.asarray(self._probs(wire))
 
     # --------------------------------------------------------------- score
     def score_pairs(self, pairs: Sequence[Tuple[str, str]]) -> np.ndarray:
@@ -200,9 +217,23 @@ class ScoringEngine:
                 flat.append(b)
             rows = self._encode_many(flat)
             in_flight = []  # (device_probs, true_rows)
-            B = self.batch_size
-            for lo in range(0, len(pairs), B):
+            # batch ladder: dispatch cost is round-trip/wire-dominated, so
+            # while more than a small batch remains, chunk at the bulk
+            # shape (one padded bulk dispatch beats two small ones); a
+            # tail that fits the small shape uses it — padding a few pairs
+            # to the bulk shape would pay the bulk wire transfer for
+            # nothing
+            bulk = self.bulk_batch_size
+            lo = 0
+            while lo < len(pairs):
+                left = len(pairs) - lo
+                B = (
+                    bulk
+                    if bulk > self.batch_size and left > self.batch_size
+                    else self.batch_size
+                )
                 chunk = rows[2 * lo : 2 * (lo + B)]
+                lo += B
                 xa = np.stack(chunk[0::2])
                 xb = np.stack(chunk[1::2])
                 maxlen = max(

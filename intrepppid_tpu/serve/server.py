@@ -175,6 +175,7 @@ class _Handler(BaseHTTPRequestHandler):
                     "bi_reduce": cfg.bi_reduce,
                     "trunc_len": eng.trunc_len,
                     "batch_size": eng.batch_size,
+                    "bulk_batch_size": eng.bulk_batch_size,
                     "sampling": eng.sampling,
                 },
             },

@@ -48,8 +48,10 @@ def served(fixtures):
     )
     params = net.init(jax.random.PRNGKey(3))
     spp = SentencePieceTokenizer(fixtures / "tiny_spm.model")
+    # bulk ladder off: these tests exercise the small-shape chunking and
+    # tail-padding paths on purpose (the ladder has its own test below)
     engine = ScoringEngine(
-        net, params, spp, trunc_len=TRUNC, batch_size=4
+        net, params, spp, trunc_len=TRUNC, batch_size=4, bulk_batch_size=0
     )
     return net, params, spp, engine
 
@@ -95,6 +97,45 @@ def test_engine_matches_direct_forward(served):
     )
     expected = np.asarray(jax.nn.sigmoid(logits), np.float32).reshape(-1)
     np.testing.assert_allclose(probs, expected, rtol=2e-5, atol=2e-6)
+
+
+def test_engine_bulk_batch_ladder(served):
+    """Requests larger than the small batch chunk at the bulk shape, the
+    tail that fits the small shape uses it, and the ladder's outputs match
+    the bulk-disabled engine exactly (pad-invariant masked scan)."""
+    from intrepppid_tpu.serve import ScoringEngine
+
+    net, params, spp, engine = served
+    bulk_eng = ScoringEngine(
+        net, params, spp, trunc_len=TRUNC, batch_size=2, bulk_batch_size=5
+    )
+    dispatched = []
+    inner = bulk_eng._probs
+
+    def spy(wire):
+        out = inner(wire)
+        dispatched.append(int(out.shape[0]))
+        return out
+
+    bulk_eng._probs = spy
+    rng = np.random.default_rng(11)
+    pairs = [(_mk_seq(rng, 15 + i), _mk_seq(rng, 25 + i)) for i in range(7)]
+    probs = bulk_eng.score_pairs(pairs)
+    # 7 pairs: one bulk chunk of 5, then a 2-pair tail at the small shape
+    assert dispatched == [5, 2]
+    np.testing.assert_allclose(
+        probs, engine.score_pairs(pairs), rtol=2e-6, atol=1e-7
+    )
+    # a request that fits the small shape never pays the bulk wire bytes
+    dispatched.clear()
+    small = bulk_eng.score_pairs(pairs[:2])
+    assert dispatched == [2]
+    np.testing.assert_allclose(small, probs[:2], rtol=2e-6, atol=1e-7)
+    # bulk_batch_size below batch_size cannot invert the ladder
+    clamped = ScoringEngine(
+        net, params, spp, trunc_len=TRUNC, batch_size=4, bulk_batch_size=2
+    )
+    assert clamped.bulk_batch_size == clamped.batch_size
 
 
 def test_engine_cache_determinism(served):

@@ -4,7 +4,10 @@ Measures the online scoring surface (`intrepppid_tpu/serve/`) at the
 manuscript model shape with synthetic sequences:
 
 1. **engine-direct**: `ScoringEngine.score_pairs` on pre-tokenized-cache
-   misses and hits (the resident-server steady state),
+   misses and hits (the resident-server steady state), with the bulk
+   batch ladder on (production default) and off (the r4-comparable
+   small-shape number — dispatch cost is round-trip/wire-dominated, so
+   the bulk shape multiplies bulk-request throughput),
 2. **HTTP concurrency sweep, coalescing ON vs OFF**: N client threads
    POSTing small (4-pair) requests against a live `PPIServer`. With
    coalescing, concurrent requests merge into one device dispatch — the
@@ -45,7 +48,8 @@ VOCAB = 258  # golden_spm.model defines 258 pieces; anything smaller
 # would send out-of-range ids into the embedding lookup (NaN fill)
 EMBED = 16 if _SMOKE else 64
 BATCH = 4 if _SMOKE else 64
-N_PAIRS = 32 if _SMOKE else 512
+BULK = 8 if _SMOKE else 400
+N_PAIRS = 32 if _SMOKE else 800  # = 2 full bulk chunks at BULK=400
 REQ_SIZE = 4  # small requests: the coalescer must do the batching
 CLIENT_SWEEP = (1, 4) if _SMOKE else (1, 2, 4, 8)
 AAS = "ACDEFGHIKLMNPQRSTVWY"
@@ -96,6 +100,11 @@ def _http_round(port, pairs, n_clients):
 def main():
     import jax
 
+    if _SMOKE:
+        # sitecustomize already imported jax with the axon platform; env
+        # alone is too late — force the CPU pre-flight the conftest way
+        jax.config.update("jax_platforms", "cpu")
+
     from intrepppid_tpu.utils.jax_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -111,7 +120,8 @@ def main():
     )
     params = net.init(jax.random.PRNGKey(0))
     engine = ScoringEngine(
-        net, params, spp, trunc_len=TRUNC, batch_size=BATCH
+        net, params, spp, trunc_len=TRUNC, batch_size=BATCH,
+        bulk_batch_size=BULK,
     )
     rng = np.random.default_rng(0)
     lo, hi = (20, 60) if _SMOKE else (200, 2 * TRUNC)
@@ -121,11 +131,11 @@ def main():
         for _ in range(N_PAIRS)
     ]
     results = {
-        "trunc_len": TRUNC, "batch": BATCH, "n_pairs": N_PAIRS,
-        "req_size": REQ_SIZE,
+        "trunc_len": TRUNC, "batch": BATCH, "bulk_batch": BULK,
+        "n_pairs": N_PAIRS, "req_size": REQ_SIZE,
     }
 
-    print(f"warmup (compile, batch {BATCH}, T={TRUNC})...", flush=True)
+    print(f"warmup (compile, batch {BATCH}+{BULK}, T={TRUNC})...", flush=True)
     t0 = time.perf_counter()
     engine.warmup()
     results["warmup_s"] = round(time.perf_counter() - t0, 1)
@@ -145,6 +155,23 @@ def main():
         )
         print(f"engine-direct [{tag}]: {N_PAIRS / best:.0f} pairs/s "
               f"({best * 1e3:.0f} ms / {N_PAIRS} pairs)", flush=True)
+
+    # --- ladder-off comparison arm: same engine, bulk disabled, warm token
+    # cache — the r4-comparable small-shape-only number
+    engine.bulk_batch_size = 0
+    try:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            engine.score_pairs(pairs)
+            best = min(best, time.perf_counter() - t0)
+        results["engine_direct_smallonly_hit"] = round(N_PAIRS / best)
+        print(
+            f"engine-direct [ladder off, cache-hit]: {N_PAIRS / best:.0f} "
+            f"pairs/s ({best * 1e3:.0f} ms / {N_PAIRS} pairs)", flush=True,
+        )
+    finally:
+        engine.bulk_batch_size = BULK
 
     # --- HTTP concurrency sweep, coalescing ON vs OFF. The OFF arm pays
     # one device dispatch per 4-pair request; bound its wall time with a
@@ -183,6 +210,45 @@ def main():
             server.shutdown()
             server.server_close()
             st.join(timeout=10)
+
+    # --- bulk HTTP arm: one client POSTing BULK-pair requests. Each
+    # request is a single bulk-shape dispatch through the ladder — the
+    # batch-upload shape (score a whole candidate list in one call),
+    # where HTTP round-trip cost amortizes over BULK pairs instead of 4.
+    server = PPIServer(engine, host="127.0.0.1", port=0, quiet=True)
+    port = server.server_address[1]
+    st = threading.Thread(target=server.serve_forever, daemon=True)
+    st.start()
+    try:
+        bulk_pairs = pairs[: len(pairs) // BULK * BULK] or pairs
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n = 0
+            for i in range(0, len(bulk_pairs), BULK):
+                body = json.dumps(
+                    {"pairs": [list(p) for p in bulk_pairs[i : i + BULK]]}
+                ).encode()
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/score", data=body,
+                    headers={"Content-Type": "application/json"},
+                    method="POST",
+                )
+                with urllib.request.urlopen(req) as r:
+                    n += len(json.loads(r.read())["probabilities"])
+            best = min(best, time.perf_counter() - t0)
+        assert n == len(bulk_pairs)
+        results["http_bulk_1client"] = round(len(bulk_pairs) / best)
+        print(
+            f"HTTP x1 client, {BULK}-pair requests: "
+            f"{len(bulk_pairs) / best:.0f} pairs/s "
+            f"({best * 1e3:.0f} ms / {len(bulk_pairs)} pairs)",
+            flush=True,
+        )
+    finally:
+        server.shutdown()
+        server.server_close()
+        st.join(timeout=10)
 
     print("SERVE_BENCH " + json.dumps(results), flush=True)
 
