@@ -173,9 +173,15 @@ class Infer:
         rnn_num_layers: int = 2,
         bi_reduce: str = "last",
         steps_per_dispatch: Optional[int] = None,
+        n_data_parallel: int = 1,
     ):
         """Score protein pairs from a CSV (columns itx_id,id_a,id_b) using a
-        FASTA sequence library; writes itx_id,probability CSV."""
+        FASTA sequence library; writes itx_id,probability CSV.
+
+        ``--n_data_parallel N`` shards every dispatch's batch rows over an
+        N-device ``(data,)`` mesh (the pair forward has no cross-row terms,
+        so the partitioned program needs no collectives); ``batch_size``
+        rounds up to a device multiple."""
         import jax
         import jax.numpy as jnp
 
@@ -185,6 +191,28 @@ class Infer:
 
         spp = SentencePieceTokenizer(spm_path)
         spp.validate_vocab_size(vocab_size)
+
+        # data-parallel scoring: dispatch rows shard over a (data,) mesh.
+        # batch_size rounds UP to a device multiple so every fixed-shape
+        # (repeat-padded) batch splits evenly across the shards.
+        n_dp = int(n_data_parallel)
+        _wire_sharding = _stacked_sharding = None
+        if n_dp > 1:
+            from intrepppid_tpu.parallel import (
+                batch_sharding,
+                make_mesh,
+                stacked_batch_sharding,
+            )
+
+            if n_dp > len(jax.devices()):
+                raise ValueError(
+                    f"n_data_parallel={n_dp} exceeds the "
+                    f"{len(jax.devices())} addressable devices"
+                )
+            mesh = make_mesh(n_data=n_dp, n_model=1)
+            _wire_sharding = batch_sharding(mesh)
+            _stacked_sharding = stacked_batch_sharding(mesh)
+            batch_size = -(-int(batch_size) // n_dp) * n_dp
 
         def encode(seq: str) -> list:
             return IntrepppidDataset.static_encode(
@@ -376,11 +404,13 @@ class Infer:
                 )
                 grouped = group_dispatch_batches(wires, K) if K > 1 else wires
                 for wire, ids in grouped:
-                    dev = (
-                        probs_multi(wire)
-                        if isinstance(ids, tuple)
-                        else probs_one(wire)
-                    )
+                    stacked = isinstance(ids, tuple)
+                    if _wire_sharding is not None:
+                        sh = _stacked_sharding if stacked else _wire_sharding
+                        wire = {
+                            k: jax.device_put(v, sh) for k, v in wire.items()
+                        }
+                    dev = probs_multi(wire) if stacked else probs_one(wire)
                     pending.append((ids, dev))
                     drain(leave=1)
                 drain()

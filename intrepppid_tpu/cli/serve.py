@@ -36,6 +36,7 @@ class Serve:
         allow_reload: bool = False,
         sequences_path: Optional[Path] = None,
         token_cache_size: int = 65536,
+        n_data_parallel: int = 1,
         _block: bool = True,
     ):
         """Start the scoring server (blocks; Ctrl-C to stop).
@@ -51,6 +52,9 @@ class Serve:
         ``POST /reload``: re-read ``weights_path`` (e.g. after training
         wrote a fresh checkpoint there) and swap the model in with zero
         downtime — the path is fixed at startup, requests cannot change it.
+        ``--n_data_parallel N`` shards every dispatch's batch rows over an
+        N-device ``(data,)`` mesh (replicated params, no collectives) —
+        dispatch shapes round up to a device multiple.
         """
         from intrepppid_tpu.utils.jax_cache import enable_compilation_cache
 
@@ -81,6 +85,7 @@ class Serve:
             bulk_batch_size=bulk_batch_size,
             sampling=sampling,
             token_cache_size=token_cache_size,
+            n_data_parallel=n_data_parallel,
         )
         if sequences_path is not None:
             from intrepppid_tpu.cli.infer import stream_fasta

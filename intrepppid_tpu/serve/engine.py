@@ -27,7 +27,14 @@ paths use —
   wall time),
 * all chunk dispatches of a request are enqueued before any result is
   materialized, so host tokenization of chunk i+1 overlaps device compute
-  of chunk i.
+  of chunk i,
+* optional data-parallel scoring over a device mesh
+  (``n_data_parallel > 1``): each dispatch's batch rows shard over the
+  ``data`` axis of a ``jax.sharding.Mesh`` and the replicated params run
+  the same forward per shard — no collectives, so throughput scales with
+  the slice size. Dispatch shapes round up to a device multiple
+  (repeat-padded rows are sliced off the result as usual). Single
+  controller: all mesh devices must be addressable from this process.
 
 Thread-safe: requests serialize on an internal lock (one device stream;
 concurrent HTTP handlers queue here).
@@ -56,6 +63,7 @@ class ScoringEngine:
         bulk_batch_size: int = 400,
         sampling: bool = False,
         token_cache_size: int = 65536,
+        n_data_parallel: int = 1,
     ):
         import jax
 
@@ -81,6 +89,34 @@ class ScoringEngine:
         self.bulk_batch_size = max(int(bulk_batch_size), self.batch_size)
         if int(bulk_batch_size) <= 0:
             self.bulk_batch_size = 0
+        # data-parallel scoring: shard each dispatch's batch rows over a
+        # (data,) mesh with replicated params. Dispatch shapes round UP to
+        # a device multiple so rows split evenly (pad rows are repeat-pads
+        # whose outputs are sliced off, same as tail padding).
+        n_dp = int(n_data_parallel)
+        self.mesh = None
+        if n_dp > 1:
+            from intrepppid_tpu.parallel import (
+                batch_sharding,
+                make_mesh,
+                replicated_sharding,
+            )
+
+            if n_dp > len(jax.devices()):
+                raise ValueError(
+                    f"n_data_parallel={n_dp} exceeds the "
+                    f"{len(jax.devices())} addressable devices"
+                )
+            self.mesh = make_mesh(n_data=n_dp, n_model=1)
+            self._wire_sharding = batch_sharding(self.mesh)
+            self._params_sharding = replicated_sharding(self.mesh)
+            self.batch_size = -(-self.batch_size // n_dp) * n_dp
+            if self.bulk_batch_size:
+                self.bulk_batch_size = max(
+                    -(-self.bulk_batch_size // n_dp) * n_dp, self.batch_size
+                )
+            self.params = jax.device_put(self.params, self._params_sharding)
+        self.n_data_parallel = n_dp if self.mesh is not None else 1
         self.sampling = bool(sampling)
         self.buckets = default_buckets(self.trunc_len)
         self._compress = compress_batch_for_wire
@@ -97,7 +133,20 @@ class ScoringEngine:
             )
 
         self._probs_fn = jax.jit(_probs_wire)
-        self._probs = lambda wire: self._probs_fn(self.params, wire)
+        if self.mesh is None:
+            self._probs = lambda wire: self._probs_fn(self.params, wire)
+        else:
+            # placing the wire arrays with a (data,)-sharded layout makes
+            # jit partition the forward SPMD across the mesh — the per-row
+            # forward has no cross-row terms, so no collectives are needed
+            def _probs_sharded(wire):
+                wire = {
+                    k: jax.device_put(v, self._wire_sharding)
+                    for k, v in wire.items()
+                }
+                return self._probs_fn(self.params, wire)
+
+            self._probs = _probs_sharded
         self._lock = threading.Lock()
         # raw sequence -> (trunc_len,) int32 token row; only valid for the
         # deterministic path (sampling re-draws per call by contract)
@@ -151,6 +200,10 @@ class ScoringEngine:
         engine lock, reuses the compiled executable (params are a call
         argument, so no recompile), and keeps the token cache (tokenization
         is model-independent)."""
+        if self.mesh is not None:
+            import jax
+
+            params = jax.device_put(params, self._params_sharding)
         with self._lock:
             self.params = params
 

@@ -176,6 +176,7 @@ class _Handler(BaseHTTPRequestHandler):
                     "trunc_len": eng.trunc_len,
                     "batch_size": eng.batch_size,
                     "bulk_batch_size": eng.bulk_batch_size,
+                    "n_data_parallel": eng.n_data_parallel,
                     "sampling": eng.sampling,
                 },
             },

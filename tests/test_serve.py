@@ -507,3 +507,45 @@ def test_http_reload_disabled_by_default(served):
         server.shutdown()
         server.server_close()
         t.join(timeout=10)
+
+
+def test_engine_data_parallel_matches_single_device(served):
+    """n_data_parallel shards dispatch rows over a (data,) mesh: dispatch
+    shapes round up to a device multiple, scores match the single-device
+    engine, and zero-downtime swaps keep working on the sharded params."""
+    import jax
+
+    from intrepppid_tpu.serve import ScoringEngine
+
+    net, params, spp, engine = served
+    assert len(jax.devices()) >= 4  # conftest forces 8 virtual CPU devices
+    dp = ScoringEngine(
+        net, params, spp, trunc_len=TRUNC, batch_size=3, bulk_batch_size=6,
+        n_data_parallel=4,
+    )
+    # shapes rounded up to the device multiple; mesh spans the data axis
+    assert dp.batch_size == 4 and dp.bulk_batch_size == 8
+    assert dp.mesh is not None and dp.mesh.devices.size == 4
+    assert dp.n_data_parallel == 4
+    dp.warmup()  # compiles both ladder rungs SPMD
+    rng = np.random.default_rng(41)
+    # 11 pairs: one bulk chunk of 8, then a 3-pair tail repeat-padded to 4
+    pairs = [(_mk_seq(rng, 10 + i), _mk_seq(rng, 20 + i)) for i in range(11)]
+    probs = dp.score_pairs(pairs)
+    np.testing.assert_allclose(
+        probs, engine.score_pairs(pairs), rtol=2e-6, atol=1e-7
+    )
+    # swap on the mesh: params re-place replicated, scores still track
+    other = net.init(jax.random.PRNGKey(7))
+    dp.swap_params(other)
+    single = ScoringEngine(
+        net, other, spp, trunc_len=TRUNC, batch_size=4, bulk_batch_size=0
+    )
+    np.testing.assert_allclose(
+        dp.score_pairs(pairs[:3]), single.score_pairs(pairs[:3]),
+        rtol=2e-6, atol=1e-7,
+    )
+    # more shards than devices fails loudly
+    with pytest.raises(ValueError, match="n_data_parallel"):
+        ScoringEngine(net, params, spp, trunc_len=TRUNC, batch_size=4,
+                      n_data_parallel=64)

@@ -403,3 +403,60 @@ def test_profile_dir_writes_trace(fixtures, tmp_path):
         (tmp_path / "prof").rglob("*.trace.json.gz")
     )
     assert traces, "no profiler trace files written"
+
+
+def test_infer_data_parallel_matches_single(trained, fixtures, tmp_path):
+    """--n_data_parallel shards infer dispatches over a (data,) mesh:
+    batch_size rounds up to a device multiple and scores match the
+    single-device run (per-row forward; partitioning adds no cross-row
+    terms)."""
+    import h5py
+
+    trainer, _, log_path = trained
+    run_dir = next(
+        d for d in log_path.iterdir() if d.is_dir() and d.name != "tensorboard"
+    )
+    best = json.loads((run_dir / "chkpt" / "best.json").read_text())["best"]
+    with h5py.File(fixtures / "tiny.h5", "r") as f:
+        seqs = {
+            row["name"].decode(): row["sequence"].decode()
+            for row in f["sequences"][:]
+        }
+    names = list(seqs)[:10]
+    fasta = tmp_path / "seqs.fasta"
+    with open(fasta, "w") as f:
+        for n in names:
+            f.write(f">{n}\n{seqs[n]}\n")
+    pairs = tmp_path / "pairs.csv"
+    with open(pairs, "w") as f:
+        for i in range(9):
+            f.write(f"itx{i},{names[i]},{names[i + 1]}\n")
+
+    from intrepppid_tpu.cli.infer import Infer
+
+    outs = {}
+    # batch_size=3 with 2 shards rounds up to 4; K=3 exercises the stacked
+    # (K, B, T) sharding; dp=1 is the oracle
+    for dp in (1, 2):
+        out = tmp_path / f"scores_dp{dp}.csv"
+        n = Infer.from_csv(
+            interactions_path=pairs,
+            sequences_path=fasta,
+            weights_path=best,
+            spm_path=fixtures / "tiny_spm.model",
+            out_path=out,
+            trunc_len=64,
+            batch_size=3,
+            vocab_size=38,
+            embedding_size=16,
+            steps_per_dispatch=3,
+            n_data_parallel=dp,
+        )
+        assert n == 9
+        outs[dp] = {
+            line.split(",")[0]: float(line.split(",")[1])
+            for line in out.read_text().strip().splitlines()
+        }
+    assert list(outs[1]) == list(outs[2]) == [f"itx{i}" for i in range(9)]
+    for k in outs[1]:
+        assert abs(outs[1][k] - outs[2][k]) < 1e-6
