@@ -64,20 +64,29 @@ def load_bench(path: Path):
     return None
 
 
-def _artifact_name(src: Path, bench) -> str | None:
-    """A citable name for the measurement source, if recognisable."""
-    m = re.match(r"BENCH_r\d+\.json$", src.name)
-    if m:
-        return src.name
-    return None
+def _artifact_name(src: Path, bench) -> tuple[str, str] | None:
+    """(kind, citable-name) for the measurement source, if recognisable.
+
+    kind is "driver" for the driver's ``BENCH_r*.json`` artifacts and
+    "queue" for in-repo logs (cited by repo-relative path) — the round-5
+    mislabel happened because queue logs weren't citable, so the numbers
+    refreshed while the citation kept naming the older driver artifact."""
+    if re.match(r"BENCH_r\d+\.json$", src.name):
+        return ("driver", src.name)
+    try:
+        rel = src.resolve().relative_to(REPO)
+    except ValueError:
+        return None
+    return ("queue", str(rel))
 
 
-def plan_edits(bench, artifact: str | None):
+def plan_edits(bench, artifact: tuple[str, str] | None):
     """(path, pattern, replacement) regex edits; each must match exactly once
     to be applied (0 matches -> skip with a message, >1 -> refuse)."""
     step = bench["value"]
     vsb = bench.get("vs_baseline")
     epoch = bench.get("epoch_level")
+    epoch_vsb = bench.get("epoch_vs_baseline")
     ladder = bench.get("epoch_rates")
     edits = []
 
@@ -106,21 +115,31 @@ def plan_edits(bench, artifact: str | None):
                 " warm epoch",
             )
         )
+    if epoch_vsb is not None:
+        edits.append(
+            (
+                README,
+                r"\(\d+× the baseline estimate at the\s+epoch level\)",
+                f"({epoch_vsb:.0f}× the baseline estimate at the\n"
+                "  epoch level)",
+            )
+        )
     if ladder:
         ladder_txt = " → ".join(f"{r:.0f}" for r in ladder)
         edits.append(
             (
                 README,
-                r"the captured epoch ladder was [\d →]+ seq-pairs/s",
-                f"the captured epoch ladder was {ladder_txt} seq-pairs/s",
+                r"the captured epoch ladder was [\d →]+\s+seq-pairs/s",
+                f"the captured epoch ladder was {ladder_txt}\n  seq-pairs/s",
             )
         )
     if artifact:
+        kind, name = artifact
         edits.append(
             (
                 README,
-                r"driver-captured `BENCH_r\d+\.json`",
-                f"driver-captured `{artifact}`",
+                r"window \((?:driver|queue)-captured\s+`[^`]+`",
+                f"window ({kind}-captured\n`{name}`",
             )
         )
 
@@ -135,23 +154,30 @@ def plan_edits(bench, artifact: str | None):
             else ""
         )
         + " seq-pairs/s"
-        + (f" — {vsb:.0f}× the estimated reference baseline" if vsb is not None else "")
+        + (
+            f" — {epoch_vsb:.0f}× the estimated reference baseline\n"
+            "at the epoch level"
+            if epoch_vsb is not None
+            else ""
+        )
     )
     edits.append(
         (
             PERF,
             r"The captured artifact records step \d+(?:, epoch \d+)?"
             r"(?:\s*\(epoch ladder\s*[\d/\s]*?\))?\s*seq-pairs/s"
-            r"(?:\s*—\s*\d+× the estimated\s+reference baseline)?",
+            r"(?:\s*—\s*\d+× the estimated\s+reference baseline"
+            r"(?:\s*at the epoch level)?)?",
             perf_sentence,
         )
     )
     if artifact:
+        kind, name = artifact
         edits.append(
             (
                 PERF,
-                r"\(driver-captured `BENCH_r\d+\.json`",
-                f"(driver-captured `{artifact}`",
+                r"\((?:driver|queue)-captured\s+`[^`]+`",
+                f"({kind}-captured\n`{name}`",
             )
         )
     edits.append(
