@@ -22,6 +22,7 @@ BENCH = {
     "unit": "seq-pairs/s",
     "vs_baseline": 102.47,
     "epoch_level": 5050.5,
+    "epoch_vs_baseline": 101.01,
     "epoch_level_min": 1700.0,
     "epoch_level_max": 5050.5,
     "epoch_rates": [400.0, 1700.0, 4800.0, 5050.5],
@@ -57,7 +58,14 @@ class TestLoadBench:
 
     def test_artifact_name(self, tmp_path):
         assert _artifact_name(tmp_path / "BENCH_r07.json", BENCH) \
-            == "BENCH_r07.json"
+            == ("driver", "BENCH_r07.json")
+        # in-repo logs are citable by repo-relative path (the r5 queue
+        # refreshed numbers from a log the old refresher couldn't cite,
+        # leaving a stale BENCH_r04 attribution on the new figures)
+        assert _artifact_name(
+            REPO / "measurements" / "r5_queue" / "bench_wide_warm.log", BENCH
+        ) == ("queue", "measurements/r5_queue/bench_wide_warm.log")
+        # outside the repo there is nothing citable
         assert _artifact_name(tmp_path / "bench.log", BENCH) is None
 
 
@@ -67,7 +75,7 @@ class TestAnchorsAlive:
     and a refreshed doc stays refreshable (idempotence)."""
 
     def test_each_pattern_matches_once(self):
-        for path, pattern, new in plan_edits(BENCH, "BENCH_r05.json"):
+        for path, pattern, new in plan_edits(BENCH, ("driver", "BENCH_r05.json")):
             text = path.read_text()
             hits = re.findall(pattern, text)
             assert len(hits) == 1, (
@@ -78,7 +86,7 @@ class TestAnchorsAlive:
     def test_replacements_self_match(self):
         """Applying an edit leaves text the SAME pattern still matches —
         the property that makes repeated refreshes safe."""
-        for path, pattern, new in plan_edits(BENCH, "BENCH_r05.json"):
+        for path, pattern, new in plan_edits(BENCH, ("driver", "BENCH_r05.json")):
             assert re.search(pattern, new) or re.fullmatch(pattern, new), (
                 f"replacement for {pattern!r} would not re-match: {new!r}"
             )
